@@ -1,0 +1,100 @@
+"""Contribution view: typed change events between consecutive versions.
+
+Spark-first re-expression of the reference's change extraction
+(``oshdb-util/.../celliterator/CellIterator.java:437-711``):
+
+* changeset collapsing — of several modifications sharing a changeset
+  only the final one is a contribution (``OSHEntities.java:240-267``) —
+  becomes a keep-last window filter per (entity, changeset);
+* the sequential prev/curr walk becomes ``lag()`` columns over
+  (entity ORDER BY version);
+* contribution types replicate the reference classification:
+  CREATION when the entity starts matching (first visible matching
+  version, or a visible→visible transition out of non-matching,
+  ``CellIterator.java:639-641``), DELETION when it stops
+  (``CellIterator.java:532-551``) — including *filter-relative*
+  deletions where the entity merely stops matching the tag/AOI
+  predicate (``CellIterator.java:581-594,624-638``; semantics doc
+  ``documentation/manual/views.md:48-52``) — TAG_CHANGE and
+  GEOMETRY_CHANGE from column diffs (``CellIterator.java:646-668``).
+
+The filter predicate participates in visibility ("effective
+visibility" = visible AND matches), which is exactly what makes
+snapshot deltas reconcile with contribution sums — the invariant
+tested in ``tests/test_reconciliation.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+CONTRIB_ORDER = ["CREATION", "TAG_CHANGE", "GEOMETRY_CHANGE", "DELETION"]
+
+
+def collapse_changesets(versions: DataFrame) -> DataFrame:
+    """Keep only the last version of each (entity, changeset) group —
+    the changeset-collapsing rule (``OSHEntities.java:240-267``)."""
+    w = Window.partitionBy("entity_id", "changeset").orderBy(F.col("version").desc())
+    return (
+        versions.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def contributions(
+    versions: DataFrame,
+    predicate: Column | None = None,
+    collapse: bool = True,
+) -> DataFrame:
+    """One row per contribution with a canonical ``contrib_type`` string.
+
+    ``contrib_type`` values: 'CREATION', 'DELETION', 'TAG_CHANGE',
+    'GEOMETRY_CHANGE', 'TAG_CHANGE,GEOMETRY_CHANGE' (both), or 'OTHER'
+    (metadata-only change, the reference's empty type set). Rows where
+    the entity is not effectively present on either side are dropped.
+    """
+    v = versions
+    if collapse:
+        v = collapse_changesets(v)
+    match = predicate if predicate is not None else F.lit(True)
+    v = v.withColumn("_match", F.col("visible") & match)
+
+    w = Window.partitionBy("entity_id").orderBy("version")
+    v = (
+        v.withColumn("prev_match", F.lag("_match").over(w))
+        .withColumn("prev_lon", F.lag("lon_e7").over(w))
+        .withColumn("prev_lat", F.lag("lat_e7").over(w))
+        .withColumn("prev_tag_building", F.lag("tag_building").over(w))
+        .withColumn("prev_tag_v", F.lag("tag_v").over(w))
+        .withColumn("prev_uid", F.lag("uid").over(w))
+    )
+
+    curr = F.col("_match")
+    prev = F.coalesce(F.col("prev_match"), F.lit(False))
+    geom_changed = (F.col("lon_e7") != F.col("prev_lon")) | (
+        F.col("lat_e7") != F.col("prev_lat")
+    )
+    tags_changed = (F.col("tag_building") != F.col("prev_tag_building")) | (
+        F.col("tag_v") != F.col("prev_tag_v")
+    )
+
+    ctype = (
+        F.when(curr & ~prev, F.lit("CREATION"))
+        .when(~curr & prev, F.lit("DELETION"))
+        .when(
+            curr & prev & tags_changed & geom_changed,
+            F.lit("TAG_CHANGE,GEOMETRY_CHANGE"),
+        )
+        .when(curr & prev & tags_changed, F.lit("TAG_CHANGE"))
+        .when(curr & prev & geom_changed, F.lit("GEOMETRY_CHANGE"))
+        .when(curr & prev, F.lit("OTHER"))
+        .otherwise(F.lit(None))
+    )
+
+    return (
+        v.withColumn("contrib_type", ctype)
+        .filter(F.col("contrib_type").isNotNull())
+        .drop("_match")
+    )

@@ -1,0 +1,404 @@
+"""Query catalog: every implemented operator as a (spark, sf_dir) ->
+DataFrame callable plus a DuckDB oracle SQL string over the same
+parquet tables.
+
+This is the driver-facing correctness surface (CORRECTNESS_r{N}.json):
+each pair must agree on row count, schema and order-insensitive value
+hash at sf0.01. Column aliases are kept identical on both sides by
+construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from oshdb_spark.grid import LAT_MAX, LON_MAX, WORLD_LAT, WORLD_LON
+from oshdb_spark.operators.aggregate import zerofill
+from oshdb_spark.operators.contribution import contributions
+from oshdb_spark.operators.knn import knn
+from oshdb_spark.operators.snapshot import snapshot_timestamps, snapshots
+from oshdb_spark.operators.tiles import raster_tiles, vector_tiles
+from oshdb_spark.sources.versions import (
+    SNAPSHOT_TS,
+    load_versions,
+    snapshot_ts_values_sql,
+    versions_sql,
+)
+
+# bbox used by the spatial snapshot fixture (fixed-point)
+BBOX = (-900_000_000, -450_000_000, 900_000_000, 450_000_000)
+
+KNN_K = 5
+KNN_ZOOM = 3
+KNN_RING = 1
+
+ANN_K = 5
+ANN_QUERY_MOD = 100
+
+_V = "v"  # versions CTE name in oracle SQL
+
+
+def _versions_cte() -> str:
+    return f"WITH {_V} AS ({versions_sql('')})"
+
+
+def _validity_cte() -> str:
+    return (
+        f"{_versions_cte()}, w AS (SELECT *, lead(ts) OVER "
+        f"(PARTITION BY entity_id ORDER BY version) AS valid_to FROM {_V})"
+    )
+
+
+def _collapsed_lag_cte() -> str:
+    """Changeset-collapsed versions with lagged prev columns (the
+    contribution-view preamble) as DuckDB CTEs."""
+    return f"""{_versions_cte()},
+    c AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY entity_id, changeset ORDER BY version DESC) AS _rn
+        FROM {_V}
+      ) WHERE _rn = 1
+    ),
+    l AS (
+      SELECT *,
+        lag(visible)      OVER win AS prev_visible,
+        lag(lon_e7)       OVER win AS prev_lon,
+        lag(lat_e7)       OVER win AS prev_lat,
+        lag(tag_building) OVER win AS prev_tag_building,
+        lag(tag_v)        OVER win AS prev_tag_v
+      FROM c
+      WINDOW win AS (PARTITION BY entity_id ORDER BY version)
+    ),
+    contrib AS (
+      SELECT *,
+        CASE
+          WHEN visible AND NOT coalesce(prev_visible, FALSE) THEN 'CREATION'
+          WHEN NOT visible AND coalesce(prev_visible, FALSE) THEN 'DELETION'
+          WHEN visible AND coalesce(prev_visible, FALSE)
+               AND (tag_building <> prev_tag_building OR tag_v <> prev_tag_v)
+               AND (lon_e7 <> prev_lon OR lat_e7 <> prev_lat)
+            THEN 'TAG_CHANGE,GEOMETRY_CHANGE'
+          WHEN visible AND coalesce(prev_visible, FALSE)
+               AND (tag_building <> prev_tag_building OR tag_v <> prev_tag_v)
+            THEN 'TAG_CHANGE'
+          WHEN visible AND coalesce(prev_visible, FALSE)
+               AND (lon_e7 <> prev_lon OR lat_e7 <> prev_lat)
+            THEN 'GEOMETRY_CHANGE'
+          WHEN visible AND coalesce(prev_visible, FALSE) THEN 'OTHER'
+          ELSE NULL
+        END AS contrib_type
+      FROM l
+    )"""
+
+
+def _tile_xy_sql(zoom: int, lon: str = "lon_e7", lat: str = "lat_e7") -> tuple[str, str]:
+    n = 1 << zoom
+    x = (
+        f"(CASE WHEN {lon} + {LON_MAX} = {WORLD_LON} THEN 0 "
+        f"ELSE {lon} + {LON_MAX} END) * {n} // {WORLD_LON}"
+    )
+    y = (
+        f"(CASE WHEN {lat} + {LAT_MAX} = {WORLD_LAT} THEN {WORLD_LAT} - 1 "
+        f"ELSE {lat} + {LAT_MAX} END) * {n} // {WORLD_LON}"
+    )
+    return x, y
+
+
+# ---------------------------------------------------------------------------
+# snapshot queries
+# ---------------------------------------------------------------------------
+
+def q_snapshot_count_by_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count of visible `building`-tagged entities as-of each probe ts
+    (the TestHelpersOSMEntitySnapshotView.testCount analog)."""
+    v = load_versions(spark, sf_dir)
+    t = snapshot_timestamps(spark, SNAPSHOT_TS)
+    snap = snapshots(v, t, predicate=(F.col("tag_building") == 1))
+    return snap.groupBy("snap_ts").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def o_snapshot_count_by_ts() -> str:
+    return f"""{_validity_cte()}
+    SELECT t.snap_ts AS snap_ts, count(*) AS cnt
+    FROM w, {snapshot_ts_values_sql()}
+    WHERE w.visible AND w.tag_building = 1
+      AND t.snap_ts >= w.ts AND (w.valid_to IS NULL OR t.snap_ts < w.valid_to)
+    GROUP BY 1
+    """
+
+
+def q_snapshot_bbox_count_by_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot counts restricted to a bbox area of interest
+    (areaOfInterest(bbox) analog, MapReducer.java:248-257)."""
+    v = load_versions(spark, sf_dir)
+    t = snapshot_timestamps(spark, SNAPSHOT_TS)
+    in_bbox = (
+        (F.col("lon_e7") >= BBOX[0])
+        & (F.col("lon_e7") <= BBOX[2])
+        & (F.col("lat_e7") >= BBOX[1])
+        & (F.col("lat_e7") <= BBOX[3])
+    )
+    snap = snapshots(v, t, predicate=in_bbox)
+    return snap.groupBy("snap_ts").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct(F.col("uid")).alias("uniq_users"),
+    )
+
+
+def o_snapshot_bbox_count_by_ts() -> str:
+    return f"""{_validity_cte()}
+    SELECT t.snap_ts AS snap_ts, count(*) AS cnt, count(DISTINCT uid) AS uniq_users
+    FROM w, {snapshot_ts_values_sql()}
+    WHERE w.visible
+      AND w.lon_e7 BETWEEN {BBOX[0]} AND {BBOX[2]}
+      AND w.lat_e7 BETWEEN {BBOX[1]} AND {BBOX[3]}
+      AND t.snap_ts >= w.ts AND (w.valid_to IS NULL OR t.snap_ts < w.valid_to)
+    GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# contribution queries
+# ---------------------------------------------------------------------------
+
+def q_contrib_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_versions(spark, sf_dir)
+    c = contributions(v)
+    return c.groupBy("contrib_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct(F.col("uid")).alias("uniq_users"),
+    )
+
+
+def o_contrib_type_counts() -> str:
+    return f"""{_collapsed_lag_cte()}
+    SELECT contrib_type, count(*) AS cnt, count(DISTINCT uid) AS uniq_users
+    FROM contrib WHERE contrib_type IS NOT NULL
+    GROUP BY 1
+    """
+
+
+def q_contrib_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-relative contributions: with a tag predicate, losing the
+    tag is a DELETION and gaining it a CREATION (CellIterator.java:581-594,
+    639-641; views.md:48-52)."""
+    v = load_versions(spark, sf_dir)
+    c = contributions(v, predicate=(F.col("tag_v") >= 2))
+    return c.groupBy("contrib_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def o_contrib_filtered() -> str:
+    # same CTE chain but effective visibility = visible AND tag_v >= 2
+    return f"""{_versions_cte()},
+    c AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY entity_id, changeset ORDER BY version DESC) AS _rn
+        FROM {_V}
+      ) WHERE _rn = 1
+    ),
+    m AS (SELECT *, visible AND tag_v >= 2 AS eff FROM c),
+    l AS (
+      SELECT *,
+        lag(eff)          OVER win AS prev_eff,
+        lag(lon_e7)       OVER win AS prev_lon,
+        lag(lat_e7)       OVER win AS prev_lat,
+        lag(tag_building) OVER win AS prev_tag_building,
+        lag(tag_v)        OVER win AS prev_tag_v
+      FROM m
+      WINDOW win AS (PARTITION BY entity_id ORDER BY version)
+    )
+    SELECT contrib_type, count(*) AS cnt FROM (
+      SELECT CASE
+        WHEN eff AND NOT coalesce(prev_eff, FALSE) THEN 'CREATION'
+        WHEN NOT eff AND coalesce(prev_eff, FALSE) THEN 'DELETION'
+        WHEN eff AND coalesce(prev_eff, FALSE)
+             AND (tag_building <> prev_tag_building OR tag_v <> prev_tag_v)
+             AND (lon_e7 <> prev_lon OR lat_e7 <> prev_lat)
+          THEN 'TAG_CHANGE,GEOMETRY_CHANGE'
+        WHEN eff AND coalesce(prev_eff, FALSE)
+             AND (tag_building <> prev_tag_building OR tag_v <> prev_tag_v)
+          THEN 'TAG_CHANGE'
+        WHEN eff AND coalesce(prev_eff, FALSE)
+             AND (lon_e7 <> prev_lon OR lat_e7 <> prev_lat)
+          THEN 'GEOMETRY_CHANGE'
+        WHEN eff AND coalesce(prev_eff, FALSE) THEN 'OTHER'
+        ELSE NULL END AS contrib_type
+      FROM l
+    ) WHERE contrib_type IS NOT NULL
+    GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# grouped aggregation + zerofill
+# ---------------------------------------------------------------------------
+
+def q_agg_zerofill_ts_tagv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot counts grouped by (snap_ts, tag_v) with zerofill over the
+    full key universe (MapAggregator.java:884-892,971-1001 analog)."""
+    v = load_versions(spark, sf_dir)
+    t = snapshot_timestamps(spark, SNAPSHOT_TS)
+    snap = snapshots(v, t)
+    grouped = snap.groupBy("snap_ts", "tag_v").agg(F.count(F.lit(1)).alias("cnt"))
+    tagv_universe = spark.createDataFrame([(i,) for i in range(5)], "tag_v int")
+    out = zerofill(grouped, [t, tagv_universe], {"cnt": 0})
+    return out.select("snap_ts", "tag_v", F.col("cnt").cast("long").alias("cnt"))
+
+
+def o_agg_zerofill_ts_tagv() -> str:
+    return f"""{_validity_cte()},
+    g AS (
+      SELECT t.snap_ts AS snap_ts, w.tag_v AS tag_v, count(*) AS cnt
+      FROM w, {snapshot_ts_values_sql()}
+      WHERE w.visible
+        AND t.snap_ts >= w.ts AND (w.valid_to IS NULL OR t.snap_ts < w.valid_to)
+      GROUP BY 1, 2
+    )
+    SELECT u.snap_ts, u.tag_v, coalesce(g.cnt, 0) AS cnt
+    FROM (
+      SELECT t.snap_ts, tv.tag_v
+      FROM {snapshot_ts_values_sql()}, (VALUES (0),(1),(2),(3),(4)) AS tv(tag_v)
+    ) u
+    LEFT JOIN g ON g.snap_ts = u.snap_ts AND g.tag_v = u.tag_v
+    """
+
+
+# ---------------------------------------------------------------------------
+# tiles
+# ---------------------------------------------------------------------------
+
+TILE_TS = SNAPSHOT_TS[-1]
+
+
+def _snapshot_at(spark: SparkSession, sf_dir: str, ts: int) -> DataFrame:
+    v = load_versions(spark, sf_dir)
+    t = snapshot_timestamps(spark, [ts])
+    return snapshots(v, t)
+
+
+def q_raster_tiles_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snap = _snapshot_at(spark, sf_dir, TILE_TS)
+    r = raster_tiles(snap, 6)
+    return r.select("zoom", "tile_x", "tile_y", F.col("val").cast("long").alias("val"))
+
+
+def o_raster_tiles_z6() -> str:
+    x, y = _tile_xy_sql(6)
+    return f"""{_validity_cte()}
+    SELECT 6 AS zoom, {x} AS tile_x, {y} AS tile_y, count(*) AS val
+    FROM w
+    WHERE w.visible AND {TILE_TS} >= w.ts AND (w.valid_to IS NULL OR {TILE_TS} < w.valid_to)
+    GROUP BY 2, 3
+    """
+
+
+def q_vector_tiles_z4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snap = _snapshot_at(spark, sf_dir, TILE_TS)
+    vt = vector_tiles(snap, 4)
+    return vt.select(
+        "zoom",
+        "tile_x",
+        "tile_y",
+        "n_features",
+        F.array_join(
+            F.transform(F.col("features"), lambda e: e.cast("string")), ","
+        ).alias("features"),
+    )
+
+
+def o_vector_tiles_z4() -> str:
+    x, y = _tile_xy_sql(4)
+    return f"""{_validity_cte()}
+    SELECT 4 AS zoom, {x} AS tile_x, {y} AS tile_y,
+           count(*) AS n_features,
+           array_to_string(list_sort(list(entity_id)), ',') AS features
+    FROM w
+    WHERE w.visible AND {TILE_TS} >= w.ts AND (w.valid_to IS NULL OR {TILE_TS} < w.valid_to)
+    GROUP BY 2, 3
+    """
+
+
+# ---------------------------------------------------------------------------
+# kNN
+# ---------------------------------------------------------------------------
+
+def _knn_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    v = load_versions(spark, sf_dir)
+    w = Window.partitionBy("entity_id").orderBy(F.col("version").desc())
+    latest = (
+        v.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & F.col("visible"))
+        .select("entity_id", "lon_e7", "lat_e7")
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nk = F.col("n_nationkey").cast("long")
+    queries = nation.select(
+        nk.alias("q_id"),
+        (nk * 610000019 % 3600000000 - 1800000000).alias("q_lon"),
+        (nk * 310000019 % 1700000000 - 850000000).alias("q_lat"),
+    )
+    return latest, queries
+
+
+def q_knn_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    points, queries = _knn_inputs(spark, sf_dir)
+    return knn(points, queries, k=KNN_K, zoom=KNN_ZOOM, ring=KNN_RING).select(
+        "q_id", "rank", "entity_id", "dist2"
+    )
+
+
+def o_knn_k5() -> str:
+    return f"""{_versions_cte()},
+    latest AS (
+      SELECT entity_id, lon_e7, lat_e7 FROM (
+        SELECT *, row_number() OVER (PARTITION BY entity_id ORDER BY version DESC) AS _rn
+        FROM {_V}
+      ) WHERE _rn = 1 AND visible
+    ),
+    q AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS q_id,
+             CAST(n_nationkey AS BIGINT) * 610000019 % 3600000000 - 1800000000 AS q_lon,
+             CAST(n_nationkey AS BIGINT) * 310000019 % 1700000000 - 850000000 AS q_lat
+      FROM nation
+    ),
+    d AS (
+      SELECT q.q_id, latest.entity_id,
+             CAST(q.q_lon - latest.lon_e7 AS DOUBLE) * CAST(q.q_lon - latest.lon_e7 AS DOUBLE)
+           + CAST(q.q_lat - latest.lat_e7 AS DOUBLE) * CAST(q.q_lat - latest.lat_e7 AS DOUBLE) AS dist2
+      FROM q, latest
+    )
+    SELECT q_id, rank, entity_id, dist2 FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist2, entity_id) AS INT) AS rank
+      FROM d
+    ) WHERE rank <= {KNN_K}
+    """
+
+
+# ---------------------------------------------------------------------------
+# catalog
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "snapshot_count_by_ts": q_snapshot_count_by_ts,
+    "snapshot_bbox_count_by_ts": q_snapshot_bbox_count_by_ts,
+    "contrib_type_counts": q_contrib_type_counts,
+    "contrib_filtered": q_contrib_filtered,
+    "agg_zerofill_ts_tagv": q_agg_zerofill_ts_tagv,
+    "raster_tiles_z6": q_raster_tiles_z6,
+    "vector_tiles_z4": q_vector_tiles_z4,
+    "knn_k5": q_knn_k5,
+}
+
+ORACLES: dict[str, str] = {
+    "snapshot_count_by_ts": o_snapshot_count_by_ts(),
+    "snapshot_bbox_count_by_ts": o_snapshot_bbox_count_by_ts(),
+    "contrib_type_counts": o_contrib_type_counts(),
+    "contrib_filtered": o_contrib_filtered(),
+    "agg_zerofill_ts_tagv": o_agg_zerofill_ts_tagv(),
+    "raster_tiles_z6": o_raster_tiles_z6(),
+    "vector_tiles_z4": o_vector_tiles_z4(),
+    "knn_k5": o_knn_k5(),
+}

@@ -1,0 +1,114 @@
+"""Deterministic OSH-style version-history derivation from `events`.
+
+The correctness gate compares every Spark query against a DuckDB
+oracle over the *same* parquet inputs, so the engine's geo input — an
+entity-versioned table like the reference's OSM version streams
+(``oshdb/.../osm/OSMEntity.java:13-19``: id, version, timestamp,
+changeset, user, visible flag, tags, fixed-point coords) — is derived
+from ``events.parquet`` with pure SQL-expressible integer arithmetic.
+Both dialects are generated from the constants below; keep them in
+lockstep.
+
+Derivation (seeded solely by ``event_id``/``user_id``/``ts``):
+
+* ``entity_id  = event_id % ENTITY_MOD`` — ~ENTITY_MOD entities, each with
+  ``rows/ENTITY_MOD`` versions (scale-factor proportional history depth)
+* ``ts``       = epoch seconds (floored) of the event timestamp
+* ``version``  = row_number over (entity_id ORDER BY ts, event_id)
+* ``visible``  = event_id % 7 != 0 (mirrors the negative-version
+  deleted flag, ``OSMEntity.java:63-65``)
+* ``changeset``= entity_id * 1_000_000 + (version-1)//3 — runs of three
+  consecutive versions share a changeset, exercising changeset
+  collapsing (``OSHEntities.java:240-267``)
+* ``uid``      = user_id % 50
+* coords: entity-stable base spread over the globe plus a
+  version-dependent jitter so some transitions are geometry changes
+* ``tag_building`` (entity-stable key presence — the `building=yes`
+  analog) and ``tag_v`` (version-varying value → TAG_CHANGE transitions)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+ENTITY_MOD = 200
+LON_A = 18_000_019
+LAT_A = 8_500_019
+LON_SPAN = 3_600_000_000
+LAT_SPAN = 1_700_000_000
+LON_OFF = 1_800_000_000
+LAT_OFF = 850_000_000
+LON_JITTER = 1_000_000  # 0.1 deg shift on event_id % 5 == 0
+LAT_JITTER = 500_000  # 0.05 deg shift on event_id % 11 == 0
+
+# Snapshot probe timestamps (epoch seconds) spanning the events window
+# (~2024-01-01 .. 2024-01-31 in the synthetic data, any scale factor).
+SNAPSHOT_TS = [1704500000, 1705200000, 1705900000, 1706600000]
+
+
+def load_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """versions(entity_id, version, ts, changeset, uid, visible,
+    lon_e7, lat_e7, tag_building, tag_v) derived from events.parquet."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    entity = (eid % ENTITY_MOD).alias("entity_id")
+    base = ev.select(
+        entity,
+        eid.alias("event_id"),
+        # parquet gives TIMESTAMP_NTZ; treat as UTC (session tz) → floored epoch
+        # seconds, matching the oracle's floor(epoch(ts))
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("ts"),
+        (F.col("user_id") % 50).cast("int").alias("uid"),
+        ((eid % 7) != 0).alias("visible"),
+        (
+            (F.col("event_id") % ENTITY_MOD) * LON_A % LON_SPAN
+            - LON_OFF
+            + F.when(eid % 5 == 0, LON_JITTER).otherwise(0)
+        ).alias("lon_e7"),
+        (
+            (F.col("event_id") % ENTITY_MOD) * LAT_A % LAT_SPAN
+            - LAT_OFF
+            + F.when(eid % 11 == 0, LAT_JITTER).otherwise(0)
+        ).alias("lat_e7"),
+        F.when((eid % ENTITY_MOD) % 3 == 0, 1).otherwise(0).alias("tag_building"),
+        (eid % 5).cast("int").alias("tag_v"),
+    )
+    w = Window.partitionBy("entity_id").orderBy("ts", "event_id")
+    return base.withColumn("version", F.row_number().over(w)).withColumn(
+        "changeset",
+        F.col("entity_id") * 1_000_000 + ((F.col("version") - 1) / 3).cast("long"),
+    )
+
+
+def versions_sql(sf_dir: str) -> str:
+    """The identical derivation as a DuckDB CTE body (a SELECT producing
+    the same columns from the pre-registered ``events`` view)."""
+    return f"""
+    SELECT * ,
+           entity_id * 1000000 + CAST(floor((version - 1) / 3) AS BIGINT) AS changeset
+    FROM (
+      SELECT
+        event_id % {ENTITY_MOD} AS entity_id,
+        event_id,
+        CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+        CAST(user_id % 50 AS INT) AS uid,
+        (event_id % 7) <> 0 AS visible,
+        (event_id % {ENTITY_MOD}) * {LON_A} % {LON_SPAN} - {LON_OFF}
+          + CASE WHEN event_id % 5 = 0 THEN {LON_JITTER} ELSE 0 END AS lon_e7,
+        (event_id % {ENTITY_MOD}) * {LAT_A} % {LAT_SPAN} - {LAT_OFF}
+          + CASE WHEN event_id % 11 = 0 THEN {LAT_JITTER} ELSE 0 END AS lat_e7,
+        CASE WHEN (event_id % {ENTITY_MOD}) % 3 = 0 THEN 1 ELSE 0 END AS tag_building,
+        CAST(event_id % 5 AS INT) AS tag_v,
+        row_number() OVER (PARTITION BY event_id % {ENTITY_MOD} ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS version
+      FROM events
+    )
+    """
+
+
+def snapshot_ts_values_sql() -> str:
+    """VALUES list of the snapshot probe timestamps for oracle SQL."""
+    rows = ", ".join(f"({t})" for t in SNAPSHOT_TS)
+    return f"(VALUES {rows}) AS t(snap_ts)"

@@ -1,0 +1,116 @@
+"""Temporal-view invariants ported from the reference test strategy
+(SURVEY.md §5): as-of correctness vs a pandas oracle, contribution
+classification, changeset collapsing, and the snapshot/contribution
+reconciliation invariant (views.md:48-52)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from oshdb_spark.operators.contribution import collapse_changesets, contributions
+from oshdb_spark.operators.snapshot import snapshot_timestamps, snapshots
+from oshdb_spark.sources.versions import SNAPSHOT_TS, load_versions
+
+
+@pytest.fixture(scope="module")
+def versions_pdf(spark, sf_dir) -> pd.DataFrame:
+    return load_versions(spark, sf_dir).toPandas()
+
+
+def _pandas_asof_count(pdf: pd.DataFrame, t: int, pred=None) -> int:
+    """Oracle: latest version with ts <= t per entity, count if visible+pred."""
+    df = pdf[pdf.ts <= t].sort_values(["entity_id", "version"])
+    last = df.groupby("entity_id").tail(1)
+    if pred is not None:
+        last = last[pred(last)]
+    return int(last.visible.sum())
+
+
+def test_snapshot_counts_match_pandas_oracle(spark, sf_dir, versions_pdf):
+    v = load_versions(spark, sf_dir)
+    t = snapshot_timestamps(spark, SNAPSHOT_TS)
+    got = {
+        r["snap_ts"]: r["cnt"]
+        for r in snapshots(v, t)
+        .groupBy("snap_ts")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for ts in SNAPSHOT_TS:
+        expected = _pandas_asof_count(versions_pdf, ts)
+        assert got.get(ts, 0) == expected, ts
+
+
+def test_snapshot_empty_interval_versions_excluded(spark, sf_dir):
+    """A version superseded at the same timestamp must never appear."""
+    v = load_versions(spark, sf_dir)
+    t = snapshot_timestamps(spark, SNAPSHOT_TS)
+    snap = snapshots(v, t)
+    dupes = (
+        snap.groupBy("entity_id", "snap_ts")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dupes == 0
+
+
+def test_changeset_collapse_keeps_last(spark, sf_dir, versions_pdf):
+    v = load_versions(spark, sf_dir)
+    got = collapse_changesets(v).toPandas()
+    expected = (
+        versions_pdf.sort_values("version")
+        .groupby(["entity_id", "changeset"])
+        .tail(1)
+    )
+    assert len(got) == len(expected)
+    assert set(map(tuple, got[["entity_id", "version"]].values)) == set(
+        map(tuple, expected[["entity_id", "version"]].values)
+    )
+
+
+def test_first_visible_version_is_creation(spark, sf_dir):
+    v = load_versions(spark, sf_dir)
+    c = contributions(v).toPandas()
+    first = c.sort_values("version").groupby("entity_id").head(1)
+    assert (first.contrib_type == "CREATION").all()
+
+
+def test_reconciliation_snapshot_delta_equals_contribution_sums(spark, sf_dir):
+    """Between two probe timestamps: snapshot count delta ==
+    creations - deletions in the window (views.md:48-52). Uses
+    uncollapsed contributions so every transition is observed."""
+    v = load_versions(spark, sf_dir)
+    t = snapshot_timestamps(spark, SNAPSHOT_TS)
+    snap_counts = {
+        r["snap_ts"]: r["cnt"]
+        for r in snapshots(v, t)
+        .groupBy("snap_ts")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    c = contributions(v, collapse=False).toPandas()
+    for lo, hi in zip(SNAPSHOT_TS, SNAPSHOT_TS[1:]):
+        win = c[(c.ts > lo) & (c.ts <= hi)]
+        births = (win.contrib_type == "CREATION").sum()
+        deaths = (win.contrib_type == "DELETION").sum()
+        delta = snap_counts.get(hi, 0) - snap_counts.get(lo, 0)
+        assert delta == births - deaths, (lo, hi)
+
+
+def test_filter_relative_semantics(spark, sf_dir):
+    """With a predicate, filtered contributions never report TAG/GEOM
+    changes on rows that do not match, and CREATION appears when an
+    entity starts matching."""
+    pred = F.col("tag_v") >= 2
+    v = load_versions(spark, sf_dir)
+    c = contributions(v, predicate=pred).toPandas()
+    changed = c[c.contrib_type.isin(["TAG_CHANGE", "GEOMETRY_CHANGE",
+                                     "TAG_CHANGE,GEOMETRY_CHANGE", "OTHER"])]
+    assert (changed.tag_v >= 2).all() and changed.visible.all()
+    deletions = c[c.contrib_type == "DELETION"]
+    # a filter-relative deletion row is the version that STOPPED matching:
+    # it is either invisible or fails the predicate
+    assert ((~deletions.visible) | (deletions.tag_v < 2)).all()
