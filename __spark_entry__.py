@@ -20,14 +20,24 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: snapshot counts of
     tagged entities as-of the probe timestamps (as-of join + agg)."""
     from oshdb_spark.queries import q_snapshot_count_by_ts
+    from oshdb_spark.session import ensure_shipped
 
+    ensure_shipped(spark)
     return q_snapshot_count_by_ts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from oshdb_spark.queries import QUERIES
+    from oshdb_spark.session import ensure_shipped
 
-    return dict(QUERIES)
+    def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        def call(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_shipped(spark)  # executors need the package for pandas UDFs
+            return fn(spark, sf_dir)
+
+        return call
+
+    return {name: _wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

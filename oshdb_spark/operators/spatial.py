@@ -1,0 +1,299 @@
+"""Polygonal area-of-interest filtering, cell covers, PIP and clipping —
+the spatial-join core.
+
+Reference semantics re-expressed Spark-first:
+
+* **3-way cell cover** — the reference short-circuits whole cells that
+  are fully inside (no per-entity geometry tests) or fully outside
+  (skipped entirely) of the query polygon and only runs exact
+  point-in-polygon for boundary cells
+  (``CellIterator.java:183-215``, ``FastBboxInPolygon.java:23-72``,
+  ``FastBboxOutsidePolygon``). Here the cover is computed once
+  driver-side at a chosen zoom, broadcast as literal cell-id sets, and
+  drives a ``when/otherwise`` split: inside-cell rows are accepted with
+  zero Python, outside-cell rows are pruned at the scan, and only
+  boundary-cell rows pay the Arrow-batched PIP kernel. At 100 TB the
+  outside-prune is a partition-pruning predicate on the cell-id
+  partition column.
+* **PIP kernel** — vectorized numpy ray casting (crossing number),
+  the same algorithmic family as the reference's banded
+  ``FastInPolygon.java:107-150``; banding is unnecessary because the
+  kernel evaluates a whole Arrow batch against the (small, broadcast)
+  polygon at once.
+* **clipping** — Liang–Barsky segment clip against bboxes and
+  Sutherland–Hodgman ring clip against convex windows (the reference
+  delegates to JTS ``intersection``, ``Geo.java:185-191``; we only
+  need bbox/convex windows, which these classic kernels cover
+  exactly), used by aggregate-by-geometry and the additivity tests.
+
+Points exactly on a polygon edge follow the ray-casting half-open
+rule (lower-inclusive in y, strict in x); fixtures avoid on-edge
+lattice points, as documented in FIXTURES.md §3.7.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from oshdb_spark.grid import bbox_cell_ranges, cell_bounds, cell_id_col
+
+INSIDE, BOUNDARY, OUTSIDE = "inside", "boundary", "outside"
+
+
+# ---------------------------------------------------------------------------
+# numpy kernels
+# ---------------------------------------------------------------------------
+
+def pip_mask(
+    lon: np.ndarray, lat: np.ndarray, poly_lon: np.ndarray, poly_lat: np.ndarray
+) -> np.ndarray:
+    """Crossing-number point-in-polygon over a whole batch.
+
+    ``poly_*`` is a closed or open ring (closure is implied). Complexity
+    O(points x segments) fully vectorized; the polygon side is small
+    and broadcast, the points side is one Arrow batch.
+    """
+    px = np.asarray(poly_lon, dtype=np.float64)
+    py = np.asarray(poly_lat, dtype=np.float64)
+    if px[0] == px[-1] and py[0] == py[-1]:
+        px, py = px[:-1], py[:-1]
+    x1, y1 = px, py
+    x2, y2 = np.roll(px, -1), np.roll(py, -1)
+    x = np.asarray(lon, dtype=np.float64)[:, None]
+    y = np.asarray(lat, dtype=np.float64)[:, None]
+    straddles = (y1[None, :] <= y) != (y2[None, :] <= y)
+    # x coordinate where the edge crosses the horizontal line through y
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xs = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+    crossing = straddles & (x < xs)
+    return (crossing.sum(axis=1) % 2).astype(bool)
+
+
+def seg_rect_intersects(
+    x1: float, y1: float, x2: float, y2: float, rect: tuple[float, float, float, float]
+) -> bool:
+    """Does segment (x1,y1)-(x2,y2) intersect an axis-aligned rect?"""
+    rx0, ry0, rx1, ry1 = rect
+    if max(x1, x2) < rx0 or min(x1, x2) > rx1 or max(y1, y2) < ry0 or min(y1, y2) > ry1:
+        return False
+    if rx0 <= x1 <= rx1 and ry0 <= y1 <= ry1:
+        return True
+    if rx0 <= x2 <= rx1 and ry0 <= y2 <= ry1:
+        return True
+    # separating-line test against the segment's supporting line
+    dx, dy = x2 - x1, y2 - y1
+    corners = [(rx0, ry0), (rx0, ry1), (rx1, ry0), (rx1, ry1)]
+    sides = [np.sign(dx * (cy - y1) - dy * (cx - x1)) for cx, cy in corners]
+    return not (all(s > 0 for s in sides) or all(s < 0 for s in sides))
+
+
+def clip_segment_bbox(
+    x1: float, y1: float, x2: float, y2: float, rect: tuple[float, float, float, float]
+) -> tuple[float, float, float, float] | None:
+    """Liang–Barsky segment/bbox clip; returns the clipped segment or None."""
+    rx0, ry0, rx1, ry1 = rect
+    dx, dy = x2 - x1, y2 - y1
+    t0, t1 = 0.0, 1.0
+    for p, q in (
+        (-dx, x1 - rx0),
+        (dx, rx1 - x1),
+        (-dy, y1 - ry0),
+        (dy, ry1 - y1),
+    ):
+        if p == 0:
+            if q < 0:
+                return None
+            continue
+        r = q / p
+        if p < 0:
+            if r > t1:
+                return None
+            t0 = max(t0, r)
+        else:
+            if r < t0:
+                return None
+            t1 = min(t1, r)
+    return (x1 + t0 * dx, y1 + t0 * dy, x1 + t1 * dx, y1 + t1 * dy)
+
+
+def clip_ring_convex(
+    subj_x: np.ndarray, subj_y: np.ndarray, clip_x: np.ndarray, clip_y: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sutherland–Hodgman: clip a ring against a convex CCW window.
+    Returns the clipped ring (possibly empty). Open rings implied."""
+    sx = list(np.asarray(subj_x, dtype=np.float64))
+    sy = list(np.asarray(subj_y, dtype=np.float64))
+    cx = np.asarray(clip_x, dtype=np.float64)
+    cy = np.asarray(clip_y, dtype=np.float64)
+    if len(cx) > 1 and cx[0] == cx[-1] and cy[0] == cy[-1]:
+        cx, cy = cx[:-1], cy[:-1]
+    n = len(cx)
+    for i in range(n):
+        ex1, ey1 = cx[i], cy[i]
+        ex2, ey2 = cx[(i + 1) % n], cy[(i + 1) % n]
+
+        def side(px: float, py: float) -> float:
+            return (ex2 - ex1) * (py - ey1) - (ey2 - ey1) * (px - ex1)
+
+        out_x: list[float] = []
+        out_y: list[float] = []
+        m = len(sx)
+        for j in range(m):
+            px, py = sx[j], sy[j]
+            qx, qy = sx[(j + 1) % m], sy[(j + 1) % m]
+            ps, qs = side(px, py), side(qx, qy)
+            if ps >= 0:
+                out_x.append(px)
+                out_y.append(py)
+            if (ps >= 0) != (qs >= 0):
+                t = ps / (ps - qs)
+                out_x.append(px + t * (qx - px))
+                out_y.append(py + t * (qy - py))
+        sx, sy = out_x, out_y
+        if not sx:
+            break
+    return np.array(sx), np.array(sy)
+
+
+# ---------------------------------------------------------------------------
+# cell cover (3-way classification, driver-side)
+# ---------------------------------------------------------------------------
+
+def polygon_cover(
+    poly_lon_e7: np.ndarray, poly_lat_e7: np.ndarray, zoom: int
+) -> dict[str, set[int]]:
+    """Classify every candidate cell of the polygon's bbox at ``zoom``
+    into inside / boundary sets (outside cells are simply absent).
+
+    Mirrors the fully-inside / fully-outside shortcut logic of
+    ``CellIterator.java:183-215`` at cell granularity.
+    """
+    px = np.asarray(poly_lon_e7, dtype=np.float64)
+    py = np.asarray(poly_lat_e7, dtype=np.float64)
+    if px[0] == px[-1] and py[0] == py[-1]:
+        px, py = px[:-1], py[:-1]
+    bbox = (int(px.min()), int(py.min()), int(px.max()), int(py.max()))
+    inside: set[int] = set()
+    boundary: set[int] = set()
+    for start, end in bbox_cell_ranges(zoom, bbox, enlarge=False):
+        if start < 0:
+            continue
+        for cid in range(start, end + 1):
+            lo, la, hi, ha = cell_bounds(zoom, cid)
+            rect = (float(lo), float(la), float(hi + 1), float(ha + 1))
+            crossed = any(
+                seg_rect_intersects(
+                    px[i], py[i], px[(i + 1) % len(px)], py[(i + 1) % len(px)], rect
+                )
+                for i in range(len(px))
+            )
+            if crossed:
+                boundary.add(cid)
+                continue
+            corners_in = pip_mask(
+                np.array([rect[0], rect[0], rect[2], rect[2]]),
+                np.array([rect[1], rect[3], rect[1], rect[3]]),
+                px,
+                py,
+            )
+            if corners_in.all():
+                inside.add(cid)
+            # else: fully outside (no edge crossing, corners out) -> drop
+    return {INSIDE: inside, BOUNDARY: boundary}
+
+
+# ---------------------------------------------------------------------------
+# Spark operator: polygonal areaOfInterest
+# ---------------------------------------------------------------------------
+
+def polygon_contains_col(
+    df: DataFrame,
+    poly_lon_e7: list[int],
+    poly_lat_e7: list[int],
+    zoom: int = 6,
+    lon: str = "lon_e7",
+    lat: str = "lat_e7",
+) -> DataFrame:
+    """Append ``_in_aoi`` boolean: 3-way cover split + exact PIP kernel
+    for boundary cells only (areaOfInterest(Polygon) analog,
+    ``MapReducer.java:267-276``)."""
+    cover = polygon_cover(np.array(poly_lon_e7), np.array(poly_lat_e7), zoom)
+    inside_cells = sorted(cover[INSIDE])
+    boundary_cells = sorted(cover[BOUNDARY])
+
+    px = np.asarray(poly_lon_e7, dtype=np.float64)
+    py = np.asarray(poly_lat_e7, dtype=np.float64)
+
+    @pandas_udf("boolean")
+    def _pip(lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
+        return pd.Series(pip_mask(lon_s.to_numpy(), lat_s.to_numpy(), px, py))
+
+    cell = cell_id_col(zoom, F.col(lon), F.col(lat))
+    df = df.withColumn("_cell", cell)
+    # outside cells never reach the kernel; inside cells never pay Python
+    in_inside = F.col("_cell").isin(inside_cells) if inside_cells else F.lit(False)
+    in_boundary = (
+        F.col("_cell").isin(boundary_cells) if boundary_cells else F.lit(False)
+    )
+    return df.withColumn(
+        "_in_aoi",
+        F.when(in_inside, F.lit(True)).when(
+            in_boundary, _pip(F.col(lon), F.col(lat))
+        ).otherwise(F.lit(False)),
+    ).drop("_cell")
+
+
+def filter_polygon(
+    df: DataFrame,
+    poly_lon_e7: list[int],
+    poly_lat_e7: list[int],
+    zoom: int = 6,
+) -> DataFrame:
+    return polygon_contains_col(df, poly_lon_e7, poly_lat_e7, zoom).filter(
+        F.col("_in_aoi")
+    ).drop("_in_aoi")
+
+
+def bbox_filter_col(bbox: tuple[int, int, int, int], lon="lon_e7", lat="lat_e7") -> Column:
+    """areaOfInterest(bbox) predicate (MapReducer.java:248-257)."""
+    return (
+        (F.col(lon) >= bbox[0])
+        & (F.col(lon) <= bbox[2])
+        & (F.col(lat) >= bbox[1])
+        & (F.col(lat) <= bbox[3])
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregateByGeometry: 1->N sub-region overlay
+# ---------------------------------------------------------------------------
+
+def aggregate_by_rect_regions(
+    df: DataFrame, regions: dict[str, tuple[int, int, int, int]]
+) -> DataFrame:
+    """Split rows across (possibly overlapping) rectangular sub-regions
+    and tag each copy with its region key (``GeometrySplitter.java:80-203``
+    semantics for point features: containment, no clipping needed).
+    Implemented as explode over a literal region table — a broadcast
+    spatial join with the region cover inlined into the plan."""
+    entries = [
+        F.struct(
+            F.lit(name).alias("region_key"),
+            F.lit(b[0]).alias("min_lon"),
+            F.lit(b[1]).alias("min_lat"),
+            F.lit(b[2]).alias("max_lon"),
+            F.lit(b[3]).alias("max_lat"),
+        )
+        for name, b in regions.items()
+    ]
+    exploded = df.withColumn("_r", F.explode(F.array(*entries)))
+    return exploded.filter(
+        (F.col("lon_e7") >= F.col("_r.min_lon"))
+        & (F.col("lon_e7") <= F.col("_r.max_lon"))
+        & (F.col("lat_e7") >= F.col("_r.min_lat"))
+        & (F.col("lat_e7") <= F.col("_r.max_lat"))
+    ).withColumn("region_key", F.col("_r.region_key")).drop("_r")

@@ -378,6 +378,137 @@ def o_knn_k5() -> str:
 
 
 # ---------------------------------------------------------------------------
+# polygonal AOI (PIP kernel), sub-region overlay, geodesic measures
+# ---------------------------------------------------------------------------
+
+# diamond AOI: |lon-cx| + |lat-cy| < r — ray-casting kernel on the engine
+# side, a linear inequality on the oracle side (edges at 45 deg; the
+# fixture data has no on-edge lattice points, asserted in tests)
+DIAMOND_CX, DIAMOND_CY, DIAMOND_R = 200_000_000, 100_000_000, 350_000_000
+DIAMOND_LON = [DIAMOND_CX + DIAMOND_R, DIAMOND_CX, DIAMOND_CX - DIAMOND_R, DIAMOND_CX]
+DIAMOND_LAT = [DIAMOND_CY, DIAMOND_CY + DIAMOND_R, DIAMOND_CY, DIAMOND_CY - DIAMOND_R]
+
+REGIONS = {
+    "left": (-1_000_000_000, -500_000_000, 200_000_000, 500_000_000),
+    "right": (200_000_001, -500_000_000, 1_400_000_000, 500_000_000),
+    "total": (-1_000_000_000, -500_000_000, 1_400_000_000, 500_000_000),
+    "null_island": (0, 0, 1_000, 1_000),
+}
+
+
+def q_pip_diamond_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygonal areaOfInterest through the 3-way cell-cover split +
+    Arrow-batched ray-casting PIP kernel (only boundary-cell rows pay
+    Python; inside cells accepted by cell id, outside pruned)."""
+    from oshdb_spark.operators.spatial import filter_polygon
+
+    snap = _snapshot_at(spark, sf_dir, TILE_TS)
+    hit = filter_polygon(snap, DIAMOND_LON, DIAMOND_LAT, zoom=6)
+    return hit.groupBy("tag_building").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def o_pip_diamond_counts() -> str:
+    return f"""{_validity_cte()}
+    SELECT tag_building, count(*) AS cnt
+    FROM w
+    WHERE w.visible AND {TILE_TS} >= w.ts AND (w.valid_to IS NULL OR {TILE_TS} < w.valid_to)
+      AND abs(lon_e7 - {DIAMOND_CX}) + abs(lat_e7 - {DIAMOND_CY}) < {DIAMOND_R}
+    GROUP BY 1
+    """
+
+
+def q_agg_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregateByGeometry analog: snapshot rows split across
+    overlapping sub-regions, counted per region, zerofilled — carries
+    the reference's additivity + zerofill invariants
+    (TestMapAggregateByGeometry.java:73-131)."""
+    from oshdb_spark.operators.spatial import aggregate_by_rect_regions
+
+    snap = _snapshot_at(spark, sf_dir, TILE_TS)
+    split = aggregate_by_rect_regions(snap, REGIONS)
+    grouped = split.groupBy("region_key").agg(F.count(F.lit(1)).alias("cnt"))
+    universe = spark.createDataFrame([(k,) for k in REGIONS], "region_key string")
+    return zerofill(grouped, [universe], {"cnt": 0}).select(
+        "region_key", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+def o_agg_by_region() -> str:
+    per_region = " UNION ALL ".join(
+        f"SELECT '{name}' AS region_key, count(*) AS cnt FROM snap "
+        f"WHERE lon_e7 BETWEEN {b[0]} AND {b[2]} AND lat_e7 BETWEEN {b[1]} AND {b[3]}"
+        for name, b in REGIONS.items()
+    )
+    keys = ", ".join(f"('{k}')" for k in REGIONS)
+    return f"""{_validity_cte()},
+    snap AS (
+      SELECT * FROM w
+      WHERE w.visible AND {TILE_TS} >= w.ts AND (w.valid_to IS NULL OR {TILE_TS} < w.valid_to)
+    ),
+    g AS ({per_region})
+    SELECT r.region_key, coalesce(g.cnt, 0) AS cnt
+    FROM (VALUES {keys}) r(region_key)
+    LEFT JOIN g USING (region_key)
+    """
+
+
+def q_traj_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity modification-trajectory length (meters) with the
+    reference's exact equirectangular formula (Geo.java:37-44), computed
+    in a grouped Arrow-batched kernel (applyInPandas)."""
+    import pandas as pd
+
+    from oshdb_spark.functions.geo import EARTH_RADIUS
+
+    v = load_versions(spark, sf_dir).select("entity_id", "version", "lon_e7", "lat_e7")
+
+    def _length(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("version")
+        lon = pdf["lon_e7"].to_numpy()
+        lat = pdf["lat_e7"].to_numpy()
+        if len(lon) < 2:
+            total = 0.0
+        else:
+            dlng_deg = (lon[1:] - lon[:-1]) * 1e-7
+            dlat_deg = (lat[1:] - lat[:-1]) * 1e-7
+            mid_deg = ((lat[1:] + lat[:-1]) * 1e-7) / 2.0
+            dlng = np.radians(dlng_deg) * np.cos(np.radians(mid_deg))
+            dlat = np.radians(dlat_deg)
+            total = float((EARTH_RADIUS * np.sqrt(dlng * dlng + dlat * dlat)).sum())
+        return pd.DataFrame(
+            {"entity_id": [pdf["entity_id"].iloc[0]], "length_m": [round(total, 4)]}
+        )
+
+    return v.groupBy("entity_id").applyInPandas(
+        _length, "entity_id long, length_m double"
+    )
+
+
+def o_traj_length() -> str:
+    return f"""{_versions_cte()},
+    l AS (
+      SELECT entity_id, lon_e7, lat_e7,
+             lag(lon_e7) OVER win AS plon,
+             lag(lat_e7) OVER win AS plat
+      FROM {_V}
+      WINDOW win AS (PARTITION BY entity_id ORDER BY version)
+    )
+    SELECT entity_id,
+           round(coalesce(sum(
+             6371000.0 * sqrt(
+               (radians((lon_e7 - plon) * 1e-7) * cos(radians(((lat_e7 + plat) * 1e-7) / 2.0)))
+             * (radians((lon_e7 - plon) * 1e-7) * cos(radians(((lat_e7 + plat) * 1e-7) / 2.0)))
+             + radians((lat_e7 - plat) * 1e-7) * radians((lat_e7 - plat) * 1e-7)
+             )
+           ), 0.0), 4) AS length_m
+    FROM l
+    GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
 
@@ -390,6 +521,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "raster_tiles_z6": q_raster_tiles_z6,
     "vector_tiles_z4": q_vector_tiles_z4,
     "knn_k5": q_knn_k5,
+    "pip_diamond_counts": q_pip_diamond_counts,
+    "agg_by_region": q_agg_by_region,
+    "traj_length": q_traj_length,
 }
 
 ORACLES: dict[str, str] = {
@@ -401,4 +535,7 @@ ORACLES: dict[str, str] = {
     "raster_tiles_z6": o_raster_tiles_z6(),
     "vector_tiles_z4": o_vector_tiles_z4(),
     "knn_k5": o_knn_k5(),
+    "pip_diamond_counts": o_pip_diamond_counts(),
+    "agg_by_region": o_agg_by_region(),
+    "traj_length": o_traj_length(),
 }

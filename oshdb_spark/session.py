@@ -13,6 +13,30 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship the oshdb_spark package to executor Python workers.
+
+    pandas-UDF closures are pickled by module reference, so executors
+    must be able to import ``oshdb_spark`` even when the driver found it
+    via a sys.path hack (e.g. the round driver importing
+    ``__spark_entry__`` from an arbitrary cwd). Zips the package once
+    per session and registers it with ``addPyFile`` — the same
+    mechanism as ``spark-submit --py-files``.
+    """
+    if getattr(spark, "_oshdb_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    tmp = tempfile.mkdtemp(prefix="oshdb_pyfiles_")
+    zip_base = os.path.join(tmp, "oshdb_spark_pkg")
+    root = os.path.dirname(pkg_dir)
+    archive = shutil.make_archive(zip_base, "zip", root_dir=root, base_dir="oshdb_spark")
+    spark.sparkContext.addPyFile(archive)
+    spark._oshdb_shipped = True
+
+
 def get_spark(
     app_name: str = "oshdb-spark",
     master: str | None = None,

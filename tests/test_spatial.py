@@ -1,0 +1,216 @@
+"""Spatial kernel tests: PIP vs independent oracles, cell-cover
+classification, clipping additivity (the reference's
+TestMapAggregateByGeometry invariant), geodesic formula sanity."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from oshdb_spark.functions import geo
+from oshdb_spark.operators import spatial
+from oshdb_spark.queries import DIAMOND_CX, DIAMOND_CY, DIAMOND_LAT, DIAMOND_LON, DIAMOND_R
+
+E7 = 10_000_000
+
+
+# ---------------------------------------------------------------------------
+# PIP kernel
+# ---------------------------------------------------------------------------
+
+def _convex_contains(px, py, x, y) -> bool:
+    """Independent oracle: half-plane test for a CCW convex polygon."""
+    n = len(px)
+    for i in range(n):
+        x1, y1 = px[i], py[i]
+        x2, y2 = px[(i + 1) % n], py[(i + 1) % n]
+        if (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1) < 0:
+            return False
+    return True
+
+
+def test_pip_matches_halfplane_oracle_on_random_convex_polygon():
+    rng = np.random.default_rng(7)
+    # random CCW convex polygon via angle-sorted points on a noisy circle
+    ang = np.sort(rng.uniform(0, 2 * math.pi, 9))
+    px, py = 8.0 * np.cos(ang), 8.0 * np.sin(ang)  # inscribed -> convex, CCW
+    x = rng.uniform(-12, 12, 4000)
+    y = rng.uniform(-12, 12, 4000)
+    got = spatial.pip_mask(x, y, px, py)
+    want = np.array([_convex_contains(px, py, xi, yi) for xi, yi in zip(x, y)])
+    assert (got == want).all()
+
+
+def test_pip_diamond_matches_l1_inequality():
+    rng = np.random.default_rng(13)
+    x = rng.integers(-18 * E7, 18 * E7, 5000).astype(np.float64)
+    y = rng.integers(-8 * E7, 8 * E7, 5000).astype(np.float64)
+    got = spatial.pip_mask(x, y, np.array(DIAMOND_LON, float), np.array(DIAMOND_LAT, float))
+    want = (np.abs(x - DIAMOND_CX) + np.abs(y - DIAMOND_CY)) < DIAMOND_R
+    on_edge = (np.abs(x - DIAMOND_CX) + np.abs(y - DIAMOND_CY)) == DIAMOND_R
+    assert (got[~on_edge] == want[~on_edge]).all()
+
+
+def test_pip_handles_horizontal_edges_and_concavity():
+    # concave "L" shape with horizontal edges
+    px = np.array([0.0, 4.0, 4.0, 2.0, 2.0, 0.0])
+    py = np.array([0.0, 0.0, 2.0, 2.0, 4.0, 4.0])
+    def l_shape(x, y):
+        return (0 < x < 4 and 0 < y < 2) or (0 < x < 2 and 0 < y < 4)
+
+    rng = np.random.default_rng(5)
+    xs = rng.uniform(-1, 5, 2000)
+    ys = rng.uniform(-1, 5, 2000)
+    got = spatial.pip_mask(xs, ys, px, py)
+    want = np.array([l_shape(x, y) for x, y in zip(xs, ys)])
+    assert (got == want).all()
+
+
+def test_no_fixture_point_on_diamond_edge():
+    """Guards the pip_diamond_counts oracle: no synthetic coordinate may
+    fall exactly on the diamond boundary at any test scale."""
+    import duckdb
+
+    from oshdb_spark.sources.versions import versions_sql
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '/root/testdata/{sf}/events.parquet'"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM ({versions_sql('')}) "
+            f"WHERE abs(lon_e7 - {DIAMOND_CX}) + abs(lat_e7 - {DIAMOND_CY}) = {DIAMOND_R}"
+        ).fetchone()[0]
+        assert n == 0, sf
+
+
+# ---------------------------------------------------------------------------
+# cell cover
+# ---------------------------------------------------------------------------
+
+def test_polygon_cover_three_way_classification():
+    cover = spatial.polygon_cover(
+        np.array(DIAMOND_LON, float), np.array(DIAMOND_LAT, float), zoom=6
+    )
+    inside, boundary = cover[spatial.INSIDE], cover[spatial.BOUNDARY]
+    assert inside and boundary and not (inside & boundary)
+    # every inside cell: all sampled points inside the polygon
+    rng = np.random.default_rng(3)
+    for cid in list(inside)[:10]:
+        lo, la, hi, ha = spatial.cell_bounds(6, cid)
+        xs = rng.uniform(lo, hi, 50)
+        ys = rng.uniform(la, ha, 50)
+        assert spatial.pip_mask(
+            xs, ys, np.array(DIAMOND_LON, float), np.array(DIAMOND_LAT, float)
+        ).all(), cid
+    # cells absent from the cover: no sampled point inside
+    all_cells = set()
+    for s, e in spatial.bbox_cell_ranges(
+        6,
+        (
+            DIAMOND_CX - DIAMOND_R - 5 * E7,
+            DIAMOND_CY - DIAMOND_R - 5 * E7,
+            DIAMOND_CX + DIAMOND_R + 5 * E7,
+            DIAMOND_CY + DIAMOND_R + 5 * E7,
+        ),
+    ):
+        all_cells.update(range(s, e + 1))
+    outside = all_cells - inside - boundary
+    for cid in list(outside)[:10]:
+        lo, la, hi, ha = spatial.cell_bounds(6, cid)
+        xs = rng.uniform(lo, hi, 50)
+        ys = rng.uniform(la, ha, 50)
+        assert not spatial.pip_mask(
+            xs, ys, np.array(DIAMOND_LON, float), np.array(DIAMOND_LAT, float)
+        ).any(), cid
+
+
+# ---------------------------------------------------------------------------
+# clipping
+# ---------------------------------------------------------------------------
+
+def test_liang_barsky_length_additivity():
+    """Clip a random polyline against two abutting bbox halves: the
+    clipped lengths must sum to the length inside the union bbox —
+    the len(total)==len(left)+len(right) invariant
+    (TestMapAggregateByGeometry.java:91-95)."""
+    rng = np.random.default_rng(21)
+    total = (-10.0, -10.0, 10.0, 10.0)
+    left = (-10.0, -10.0, 0.0, 10.0)
+    right = (0.0, -10.0, 10.0, 10.0)
+
+    def clipped_len(rect, xs, ys):
+        s = 0.0
+        for i in range(len(xs) - 1):
+            seg = spatial.clip_segment_bbox(xs[i], ys[i], xs[i + 1], ys[i + 1], rect)
+            if seg:
+                s += math.hypot(seg[2] - seg[0], seg[3] - seg[1])
+        return s
+
+    for _ in range(20):
+        xs = rng.uniform(-15, 15, 8)
+        ys = rng.uniform(-15, 15, 8)
+        lt = clipped_len(total, xs, ys)
+        ll = clipped_len(left, xs, ys)
+        lr = clipped_len(right, xs, ys)
+        assert lt == pytest.approx(ll + lr, rel=1e-9)
+
+
+def test_sutherland_hodgman_intersection_area():
+    # unit square clipped by half-overlapping square -> area 0.25
+    sx = np.array([0.0, 1.0, 1.0, 0.0])
+    sy = np.array([0.0, 0.0, 1.0, 1.0])
+    cx = np.array([0.5, 1.5, 1.5, 0.5])
+    cy = np.array([0.5, 0.5, 1.5, 1.5])
+    rx, ry = spatial.clip_ring_convex(sx, sy, cx, cy)
+    area = 0.5 * abs(
+        np.sum(rx * np.roll(ry, -1)) - np.sum(ry * np.roll(rx, -1))
+    )
+    assert area == pytest.approx(0.25)
+    # disjoint clip -> empty
+    rx2, _ = spatial.clip_ring_convex(sx, sy, cx + 10, cy + 10)
+    assert len(rx2) == 0
+
+
+# ---------------------------------------------------------------------------
+# geodesic measures
+# ---------------------------------------------------------------------------
+
+def test_equirectangular_degree_at_equator():
+    # 1 degree of longitude at the equator: R * pi/180
+    d = geo.line_length(np.array([0.0, 1.0]), np.array([0.0, 0.0]))
+    assert d == pytest.approx(6_371_000 * math.pi / 180, rel=1e-12)
+
+
+def test_ring_area_small_square_matches_planar():
+    # 0.01-degree square at the equator ~ (0.01 * 111.19 km)^2
+    s = 0.01
+    lon = np.array([0.0, s, s, 0.0, 0.0])
+    lat = np.array([0.0, 0.0, s, s, 0.0])
+    a = abs(geo.ring_area(lon, lat))
+    side = 6_371_000 * math.radians(s)
+    assert a == pytest.approx(side * side, rel=1e-3)
+
+
+def test_polygon_area_subtracts_holes():
+    outer = (np.array([0.0, 1, 1, 0, 0]), np.array([0.0, 0, 1, 1, 0]))
+    inner = (np.array([0.25, 0.75, 0.75, 0.25, 0.25]), np.array([0.25, 0.25, 0.75, 0.75, 0.25]))
+    full = geo.polygon_area(outer)
+    holed = geo.polygon_area(outer, [inner])
+    assert holed == pytest.approx(full - abs(geo.ring_area(*inner)), rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side invariants
+# ---------------------------------------------------------------------------
+
+def test_region_additivity_and_zerofill(spark, sf_dir):
+    from oshdb_spark.queries import q_agg_by_region
+
+    rows = {r["region_key"]: r["cnt"] for r in q_agg_by_region(spark, sf_dir).collect()}
+    assert set(rows) == {"left", "right", "total", "null_island"}
+    assert rows["total"] == rows["left"] + rows["right"]
+    assert rows["null_island"] == 0
