@@ -1,0 +1,163 @@
+"""Benchmark harness.
+
+Default mode: run every catalog query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries" (per-query
+sec), "sf", "rows", "rows_per_sec"}.
+
+--scaling: run the identical suite at local[8] and local[32] on the
+same input and write BENCH/BASELINE.md with both throughputs and the
+scaling efficiency (T8/T32)/4 — the sandbox proxy for the north rule's
+N vs 4N executor criterion (BASELINE.json).
+
+Each query is forced with a noop datasource write (full materialization,
+no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_suite(cpus: int, sf_dir: str) -> dict:
+    """Run all catalog queries in a fresh local[cpus] session; returns
+    per-query seconds + produced row counts."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from oshdb_spark.queries import QUERIES
+    from oshdb_spark.session import ensure_shipped, get_spark
+
+    spark = get_spark(
+        app_name=f"oshdb-bench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 8),
+    )
+    ensure_shipped(spark)
+    # warm the JVM + Python worker pool once (excluded from timings)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    rows = 0
+    t_all = time.perf_counter()
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        rows += df.count()  # single full materialization per query
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+    spark.stop()
+    return {"total_sec": total, "queries": timings, "rows": rows}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        # N vs 4N *executors* with real separate executor JVMs
+        # (local-cluster), not local[n] threads: measured on this box,
+        # JVM thread scaling saturates at ~2x (SMT + single-JVM sort/GC
+        # contention) while separate processes scale near-linearly —
+        # the same reason a real cluster uses one JVM per executor.
+        replicas = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "768"))
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from pyspark.sql import SparkSession
+
+        from oshdb_spark.benchjob import scale_job
+        from oshdb_spark.session import ensure_shipped
+
+        results = {}
+        for nexec in (1, 4):
+            best = None
+            rows = 0
+            for _ in range(repeats):
+                spark = (
+                    SparkSession.builder.appName(f"oshdb-scale-{nexec}x2")
+                    .master(f"local-cluster[{nexec},2,4096]")
+                    .config("spark.ui.enabled", "false")
+                    .config("spark.ui.showConsoleProgress", "false")
+                    .config("spark.sql.session.timeZone", "UTC")
+                    .config("spark.sql.shuffle.partitions", str(nexec * 4))
+                    .config("spark.sql.adaptive.enabled", "true")
+                    .getOrCreate()
+                )
+                ensure_shipped(spark)
+                scale_job(spark, sf_dir, replicas=4)  # warmup: JIT + workers
+                t0 = time.perf_counter()
+                rows = scale_job(spark, sf_dir, replicas=replicas)
+                secs = time.perf_counter() - t0
+                spark.stop()
+                best = secs if best is None else min(best, secs)
+            results[nexec] = {
+                "sec": round(best, 3),
+                "rows": rows,
+                "rows_per_sec": round(rows / best, 1),
+            }
+        eff = (results[1]["sec"] / results[4]["sec"]) / 4.0
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "w") as f:
+            f.write(
+                "# BENCH — measured throughput & scaling\n\n"
+                f"Scale job (window -> as-of snapshot fan-out -> PIP kernel -> "
+                f"raster tiles) over `{sf_dir}` events replicated x{replicas} "
+                f"(~{replicas / 10:.0f}M events -> versions), identical input at "
+                "both cluster sizes; separate executor JVMs via "
+                "local-cluster[N,2,4096]; one warmup run per session; best of "
+                f"{repeats} runs (noisy shared box).\n\n"
+                "| cluster | wall sec | tiles+join rows | rows/sec |\n"
+                "|---|---|---|---|\n"
+                f"| 1 executor x 2 cores  | {results[1]['sec']} | {results[1]['rows']} | {results[1]['rows_per_sec']} |\n"
+                f"| 4 executors x 2 cores | {results[4]['sec']} | {results[4]['rows']} | {results[4]['rows_per_sec']} |\n\n"
+                f"**Scaling efficiency (N -> 4N executors)** = (T_1 / T_4) / 4 = "
+                f"**{eff:.3f}** (target >= 0.8 per BASELINE.json; 1.0 = perfect "
+                "linear scaling).\n\n"
+                "Why local-cluster and not local[8] vs local[32]: this box "
+                "reports 32 CPUs but pure-CPU process scaling measures ~2.9x "
+                "from 8 to 32 workers (SMT), and JVM *thread* scaling "
+                "saturates near 2x even 1->4 — thread-count comparisons in "
+                "one JVM understate a real cluster. Separate executor JVMs "
+                "reproduce the actual deployment shape.\n"
+            )
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_job_n_vs_4n_executors",
+                    "exec1_sec": results[1]["sec"],
+                    "exec4_sec": results[4]["sec"],
+                    "rows": results[4]["rows"],
+                    "efficiency": round(eff, 3),
+                    "sf": _sf_of(sf_dir),
+                }
+            )
+        )
+        return
+
+    res = run_suite(cpus, sf_dir)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_suite_wall_seconds",
+                "value": res["total_sec"],
+                "unit": "sec",
+                "queries": res["queries"],
+                "sf": _sf_of(sf_dir),
+                "rows": res["rows"],
+                "rows_per_sec": round(res["rows"] / res["total_sec"], 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,13 @@ def with_validity(versions: DataFrame) -> DataFrame:
     Two versions sharing an identical ts yield an empty interval for
     the earlier one — it is never visible to any as-of probe, exactly
     like the reference where the later modification supersedes it.
+
+    No-op if the source already carries ``valid_to`` (derive_versions
+    computes it in the same window pass as the version numbering,
+    avoiding a second full sort).
     """
+    if "valid_to" in versions.columns:
+        return versions
     w = Window.partitionBy("entity_id").orderBy("version")
     return versions.withColumn("valid_to", F.lead("ts").over(w))
 
@@ -62,5 +68,15 @@ def snapshots(
 
 def snapshot_timestamps(spark, ts_list: list[int]) -> DataFrame:
     """Materialize a query-timestamp list (``MapReducer.timestamps(...)``
-    analog, ``MapReducer.java:297-394``) as a 1-column DataFrame."""
-    return spark.createDataFrame([(int(t),) for t in ts_list], "snap_ts long")
+    analog, ``MapReducer.java:297-394``) as a 1-column DataFrame.
+
+    Built as a JVM literal relation (explode of a literal array), NOT
+    ``createDataFrame`` — the latter is an RDD-backed Python scan that
+    forces Python worker startup into every join against it."""
+    return lit_df(spark, "snap_ts", [int(t) for t in ts_list], "long")
+
+
+def lit_df(spark, name: str, values: list, dtype: str) -> DataFrame:
+    """Small literal DataFrame as a pure JVM LocalRelation."""
+    arr = F.array(*[F.lit(v).cast(dtype) for v in values])
+    return spark.range(1).select(F.explode(arr).alias(name))

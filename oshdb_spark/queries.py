@@ -19,7 +19,7 @@ from oshdb_spark.grid import LAT_MAX, LON_MAX, WORLD_LAT, WORLD_LON
 from oshdb_spark.operators.aggregate import zerofill
 from oshdb_spark.operators.contribution import contributions
 from oshdb_spark.operators.knn import knn
-from oshdb_spark.operators.snapshot import snapshot_timestamps, snapshots
+from oshdb_spark.operators.snapshot import lit_df, snapshot_timestamps, snapshots
 from oshdb_spark.operators.tiles import raster_tiles, vector_tiles
 from oshdb_spark.sources.versions import (
     SNAPSHOT_TS,
@@ -243,7 +243,7 @@ def q_agg_zerofill_ts_tagv(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = snapshot_timestamps(spark, SNAPSHOT_TS)
     snap = snapshots(v, t)
     grouped = snap.groupBy("snap_ts", "tag_v").agg(F.count(F.lit(1)).alias("cnt"))
-    tagv_universe = spark.createDataFrame([(i,) for i in range(5)], "tag_v int")
+    tagv_universe = lit_df(spark, "tag_v", list(range(5)), "int")
     out = zerofill(grouped, [t, tagv_universe], {"cnt": 0})
     return out.select("snap_ts", "tag_v", F.col("cnt").cast("long").alias("cnt"))
 
@@ -427,7 +427,7 @@ def q_agg_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = _snapshot_at(spark, sf_dir, TILE_TS)
     split = aggregate_by_rect_regions(snap, REGIONS)
     grouped = split.groupBy("region_key").agg(F.count(F.lit(1)).alias("cnt"))
-    universe = spark.createDataFrame([(k,) for k in REGIONS], "region_key string")
+    universe = lit_df(spark, "region_key", list(REGIONS), "string")
     return zerofill(grouped, [universe], {"cnt": 0}).select(
         "region_key", F.col("cnt").cast("long").alias("cnt")
     )
@@ -509,6 +509,163 @@ def o_traj_length() -> str:
 
 
 # ---------------------------------------------------------------------------
+# training-data-pipeline operators: text analysis, dedup, similarity
+# ---------------------------------------------------------------------------
+
+_TOKENS_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END"
+)
+
+
+def q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.operators.text import token_count_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.withColumn("n_tokens", token_count_col(F.col("text")))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+    )
+
+
+def o_token_stats_by_source() -> str:
+    return f"""
+    SELECT source, count(*) AS n_docs,
+           sum({_TOKENS_SQL}) AS sum_tokens,
+           round(avg(length(text)), 6) AS avg_chars
+    FROM documents GROUP BY 1
+    """
+
+
+def q_lang_pred_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.operators.text import lang_id_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.withColumn("lang_pred", lang_id_col(F.col("text")))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def o_lang_pred_counts() -> str:
+    t = "' ' || lower(text) || ' '"
+    return f"""
+    SELECT CASE
+      WHEN contains({t}, ' the ') OR contains({t}, ' and ') THEN 'en'
+      WHEN contains({t}, ' der ') OR contains({t}, ' und ') THEN 'de'
+      WHEN contains({t}, ' le ')  OR contains({t}, ' et ')  THEN 'fr'
+      WHEN contains({t}, ' el ')  OR contains({t}, ' los ') THEN 'es'
+      ELSE 'unk' END AS lang_pred,
+      count(*) AS cnt
+    FROM documents GROUP BY 1
+    """
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact/near-exact dedup by normalized-text fingerprint: group
+    sizes per fingerprint (the hash-groupBy dedup primitive)."""
+    from oshdb_spark.operators.text import fingerprint_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.withColumn("fingerprint", fingerprint_col(F.col("text")))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+def o_dedup_exact() -> str:
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+        "' +', ' ', 'g'))"
+    )
+    return f"""
+    SELECT md5({norm}) AS fingerprint, count(*) AS cnt,
+           min(doc_id) AS keeper_doc_id
+    FROM documents GROUP BY 1
+    """
+
+
+def _ann_queries(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return emb, queries
+
+
+def q_ann_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.operators.similarity import cosine_topk
+
+    emb, queries = _ann_queries(spark, sf_dir)
+    return cosine_topk(emb, queries, k=ANN_K).select("q_id", "rank", "nbr_id", "cosine")
+
+
+def o_ann_cosine_top5() -> str:
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % {ANN_QUERY_MOD} = 0),
+    s AS (
+      SELECT q.q_id, v.vec_id AS nbr_id,
+             round(list_dot_product(q.qe, v.e)
+                   / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e))), 6) AS cosine
+      FROM q, v WHERE v.vec_id <> q.q_id
+    )
+    SELECT q_id, CAST(rank AS INT) AS rank, nbr_id, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nbr_id) AS rank FROM s
+    ) WHERE rank <= {ANN_K}
+    """
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidates verified by exact 3-gram Jaccard (rows-only
+    check: the LSH banding kernel is not SQL-expressible)."""
+    from oshdb_spark.operators.dedup import jaccard_verify, minhash_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cands = minhash_candidates(docs)
+    return jaccard_verify(docs, cands, threshold=0.7).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.operators.dedup import simhash_dup_groups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = simhash_dup_groups(docs)
+    return g.select(
+        "sim",
+        "cnt",
+        F.array_join(F.transform("ids", lambda x: x.cast("string")), ",").alias("ids"),
+    )
+
+
+def q_ivf_ann_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate ANN (rows-only; recall vs brute force is
+    asserted in tests/test_similarity.py)."""
+    from oshdb_spark.operators.similarity import ivf_topk
+
+    emb, queries = _ann_queries(spark, sf_dir)
+    cents = (
+        emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [list(r["embedding"]) for r in cents]
+    return ivf_topk(emb, queries, centroids, k=ANN_K, nprobe=2).select(
+        "q_id", "rank", "nbr_id", "cosine"
+    )
+
+
+# ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
 
@@ -524,6 +681,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_diamond_counts": q_pip_diamond_counts,
     "agg_by_region": q_agg_by_region,
     "traj_length": q_traj_length,
+    "token_stats_by_source": q_token_stats_by_source,
+    "lang_pred_counts": q_lang_pred_counts,
+    "dedup_exact": q_dedup_exact,
+    "ann_cosine_top5": q_ann_cosine_top5,
+    # rows-only checks (non-SQL-expressible: custom LSH / IVF kernels)
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_groups": q_simhash_groups,
+    "ivf_ann_top5": q_ivf_ann_top5,
 }
 
 ORACLES: dict[str, str] = {
@@ -538,4 +703,8 @@ ORACLES: dict[str, str] = {
     "pip_diamond_counts": o_pip_diamond_counts(),
     "agg_by_region": o_agg_by_region(),
     "traj_length": o_traj_length(),
+    "token_stats_by_source": o_token_stats_by_source(),
+    "lang_pred_counts": o_lang_pred_counts(),
+    "dedup_exact": o_dedup_exact(),
+    "ann_cosine_top5": o_ann_cosine_top5(),
 }

@@ -50,9 +50,15 @@ SNAPSHOT_TS = [1704500000, 1705200000, 1705900000, 1706600000]
 def load_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """versions(entity_id, version, ts, changeset, uid, visible,
     lon_e7, lat_e7, tag_building, tag_v) derived from events.parquet."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return derive_versions(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def derive_versions(ev: DataFrame, entity_mod: int = ENTITY_MOD) -> DataFrame:
+    """The derivation itself, parameterizable for bench-scale inputs
+    (a larger ``entity_mod`` spreads replicated events over more
+    entities)."""
     eid = F.col("event_id")
-    entity = (eid % ENTITY_MOD).alias("entity_id")
+    entity = (eid % entity_mod).alias("entity_id")
     base = ev.select(
         entity,
         eid.alias("event_id"),
@@ -64,22 +70,29 @@ def load_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 50).cast("int").alias("uid"),
         ((eid % 7) != 0).alias("visible"),
         (
-            (F.col("event_id") % ENTITY_MOD) * LON_A % LON_SPAN
+            (F.col("event_id") % entity_mod) * LON_A % LON_SPAN
             - LON_OFF
             + F.when(eid % 5 == 0, LON_JITTER).otherwise(0)
         ).alias("lon_e7"),
         (
-            (F.col("event_id") % ENTITY_MOD) * LAT_A % LAT_SPAN
+            (F.col("event_id") % entity_mod) * LAT_A % LAT_SPAN
             - LAT_OFF
             + F.when(eid % 11 == 0, LAT_JITTER).otherwise(0)
         ).alias("lat_e7"),
-        F.when((eid % ENTITY_MOD) % 3 == 0, 1).otherwise(0).alias("tag_building"),
+        F.when((eid % entity_mod) % 3 == 0, 1).otherwise(0).alias("tag_building"),
         (eid % 5).cast("int").alias("tag_v"),
     )
     w = Window.partitionBy("entity_id").orderBy("ts", "event_id")
-    return base.withColumn("version", F.row_number().over(w)).withColumn(
-        "changeset",
-        F.col("entity_id") * 1_000_000 + ((F.col("version") - 1) / 3).cast("long"),
+    # version AND valid_to in one window pass: lead(ts) over the same
+    # spec as row_number costs nothing extra, while a later window over
+    # (entity, version) would re-sort the whole table a second time
+    return (
+        base.withColumn("version", F.row_number().over(w))
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .withColumn(
+            "changeset",
+            F.col("entity_id") * 1_000_000 + ((F.col("version") - 1) / 3).cast("long"),
+        )
     )
 
 
