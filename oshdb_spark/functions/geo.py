@@ -68,6 +68,32 @@ def ring_area(lon_deg: np.ndarray, lat_deg: np.ndarray) -> float:
     return area * EARTH_RADIUS * EARTH_RADIUS / 2.0
 
 
+def rings_area(lon_deg_2d: np.ndarray, lat_deg_2d: np.ndarray) -> np.ndarray:
+    """Batch Chamberlain–Duquette: signed areas of N equal-length closed
+    rings given as (N, V) degree arrays — the vectorized form of
+    ``ring_area`` for pandas-UDF batches (one numpy pass, no per-row
+    Python)."""
+    x = np.radians(np.asarray(lon_deg_2d, dtype=np.float64))
+    y = np.radians(np.asarray(lat_deg_2d, dtype=np.float64))
+    x3 = np.roll(x, -2, axis=1)
+    y2 = np.roll(y, -1, axis=1)
+    return ((x3 - x) * np.sin(y2)).sum(axis=1) * EARTH_RADIUS * EARTH_RADIUS / 2.0
+
+
+def bbox_rings_area_e7(
+    min_lon: np.ndarray, min_lat: np.ndarray, max_lon: np.ndarray, max_lat: np.ndarray
+) -> np.ndarray:
+    """|area| of fixed-point bbox rings (m^2), batched: each bbox becomes
+    the closed 5-vertex ring (SW, SE, NE, NW, SW) fed to ``rings_area``."""
+    x0 = np.asarray(min_lon, dtype=np.float64) * PREC_INV
+    y0 = np.asarray(min_lat, dtype=np.float64) * PREC_INV
+    x1 = np.asarray(max_lon, dtype=np.float64) * PREC_INV
+    y1 = np.asarray(max_lat, dtype=np.float64) * PREC_INV
+    lon = np.stack([x0, x1, x1, x0, x0], axis=1)
+    lat = np.stack([y0, y0, y1, y1, y0], axis=1)
+    return np.abs(rings_area(lon, lat))
+
+
 def polygon_area(
     outer: tuple[np.ndarray, np.ndarray],
     inners: list[tuple[np.ndarray, np.ndarray]] | None = None,

@@ -14,6 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from oshdb_spark.grid import LAT_MAX, LON_MAX, WORLD_LAT, WORLD_LON
 from oshdb_spark.operators.aggregate import zerofill
@@ -666,6 +667,397 @@ def q_ivf_ann_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# reducer set (sum / average / weightedAverage / quantiles / uniq)
+# ---------------------------------------------------------------------------
+
+def q_reducer_suite_by_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MapAggregator reducer clones in one grouped pass
+    (MapReducer.java:1140-1413): sum, average, weightedAverage
+    (weight = version), exact median and quartiles (the reference's
+    estimatedMedian/estimatedQuantile contract, exact percentile here;
+    approx_percentile is the documented scale path)."""
+    from oshdb_spark.operators.aggregate import weighted_average
+
+    v = load_versions(spark, sf_dir)
+    t = snapshot_timestamps(spark, SNAPSHOT_TS)
+    snap = snapshots(v, t)
+    tv = F.col("tag_v").cast("double")
+    return snap.groupBy("snap_ts").agg(
+        F.sum("tag_v").alias("sum_v"),
+        F.round(F.avg(tv), 6).alias("avg_v"),
+        F.round(weighted_average(tv, F.col("version").cast("double")), 6).alias("wavg_v"),
+        F.round(F.percentile(tv, F.lit(0.5)), 6).alias("med_v"),
+        F.round(F.percentile(tv, F.lit(0.25)), 6).alias("p25_v"),
+        F.round(F.percentile(tv, F.lit(0.75)), 6).alias("p75_v"),
+    )
+
+
+def o_reducer_suite_by_ts() -> str:
+    return f"""{_validity_cte()}
+    SELECT t.snap_ts AS snap_ts,
+           sum(tag_v) AS sum_v,
+           round(avg(CAST(tag_v AS DOUBLE)), 6) AS avg_v,
+           round(sum(CAST(tag_v AS DOUBLE) * version) / sum(CAST(version AS DOUBLE)), 6) AS wavg_v,
+           round(quantile_cont(CAST(tag_v AS DOUBLE), 0.5), 6) AS med_v,
+           round(quantile_cont(CAST(tag_v AS DOUBLE), 0.25), 6) AS p25_v,
+           round(quantile_cont(CAST(tag_v AS DOUBLE), 0.75), 6) AS p75_v
+    FROM w, {snapshot_ts_values_sql()}
+    WHERE w.visible
+      AND t.snap_ts >= w.ts AND (w.valid_to IS NULL OR t.snap_ts < w.valid_to)
+    GROUP BY 1
+    """
+
+
+def q_uniq_users_by_building(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uniq() / countUniq() reducers (MapReducer.java:1178-1211): the
+    distinct contributor set materialized as a sorted list per group."""
+    snap = _snapshot_at(spark, sf_dir, TILE_TS)
+    return snap.groupBy("tag_building").agg(
+        F.count_distinct("uid").alias("n_uniq"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_set("uid")), lambda x: x.cast("string")),
+            ",",
+        ).alias("uids"),
+    )
+
+
+def o_uniq_users_by_building() -> str:
+    return f"""{_validity_cte()}
+    SELECT tag_building, count(DISTINCT uid) AS n_uniq,
+           array_to_string(list_sort(list(DISTINCT uid)), ',') AS uids
+    FROM w
+    WHERE w.visible AND {TILE_TS} >= w.ts AND (w.valid_to IS NULL OR {TILE_TS} < w.valid_to)
+    GROUP BY 1
+    """
+
+
+def q_group_by_entity_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupByEntity() analog (MapReducer.java:731-746; TestMapReduce
+    feeds all snapshots of one OSM id to a mapper): snapshots-per-entity
+    histogram — group once by entity, then by the per-entity size."""
+    v = load_versions(spark, sf_dir)
+    t = snapshot_timestamps(spark, SNAPSHOT_TS)
+    snap = snapshots(v, t)
+    per_entity = snap.groupBy("entity_id").agg(F.count(F.lit(1)).alias("n_snaps"))
+    return per_entity.groupBy("n_snaps").agg(F.count(F.lit(1)).alias("n_entities"))
+
+
+def o_group_by_entity_hist() -> str:
+    return f"""{_validity_cte()},
+    per_entity AS (
+      SELECT w.entity_id, count(*) AS n_snaps
+      FROM w, {snapshot_ts_values_sql()}
+      WHERE w.visible
+        AND t.snap_ts >= w.ts AND (w.valid_to IS NULL OR t.snap_ts < w.valid_to)
+      GROUP BY 1
+    )
+    SELECT n_snaps, count(*) AS n_entities FROM per_entity GROUP BY 1
+    """
+
+
+def q_contrib_by_interval_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregateByTimestamp for the contribution view: each contribution
+    floored to the enclosing interval start (MapReducer.java:800-850,
+    floor at :813; pre-first-boundary rows are out-of-range and
+    dropped)."""
+    from oshdb_spark.operators.aggregate import ts_bucket
+
+    v = load_versions(spark, sf_dir)
+    c = contributions(v)
+    bucketed = c.withColumn("bucket_ts", ts_bucket(F.col("ts"), SNAPSHOT_TS))
+    return (
+        bucketed.filter(F.col("bucket_ts").isNotNull())
+        .groupBy("bucket_ts", "contrib_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def o_contrib_by_interval_type() -> str:
+    floor_expr = "CASE "
+    for b in reversed(SNAPSHOT_TS):
+        floor_expr += f"WHEN ts >= {b} THEN {b} "
+    floor_expr += "ELSE NULL END"
+    return f"""{_collapsed_lag_cte()}
+    SELECT {floor_expr} AS bucket_ts, contrib_type, count(*) AS cnt
+    FROM contrib
+    WHERE contrib_type IS NOT NULL AND ({floor_expr}) IS NOT NULL
+    GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# keytable (dictionary) + regex tag filter
+# ---------------------------------------------------------------------------
+
+# the TagTranslator analog: dictionary-encoded tag values with their
+# decoded strings; broadcast dimension, never strings in the fact table
+KEYTABLE = {0: "residential", 1: "commercial", 2: "industrial", 3: "retail", 4: "farmyard"}
+TAG_REGEX = ".*ial$"  # resolves to {residential, commercial, industrial}
+
+
+def q_tag_regex_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """osmTag(key, Pattern) analog (MapReducer.java:571-596): the regex
+    is resolved against the broadcast keytable (matching value-ids), the
+    fact table joins on the int id — strings never touch the hot path."""
+    snap = _snapshot_at(spark, sf_dir, TILE_TS)
+    dim = spark.createDataFrame(
+        [(k, v) for k, v in KEYTABLE.items()], "tag_v int, tag_name string"
+    )
+    matching = dim.filter(F.col("tag_name").rlike(TAG_REGEX))
+    return (
+        snap.join(F.broadcast(matching), "tag_v")
+        .groupBy("tag_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def o_tag_regex_counts() -> str:
+    vals = ", ".join(f"({k}, '{v}')" for k, v in KEYTABLE.items())
+    return f"""{_validity_cte()}
+    SELECT d.tag_name, count(*) AS cnt
+    FROM w JOIN (VALUES {vals}) d(tag_v, tag_name) ON w.tag_v = d.tag_v
+    WHERE w.visible AND {TILE_TS} >= w.ts AND (w.valid_to IS NULL OR {TILE_TS} < w.valid_to)
+      AND regexp_matches(d.tag_name, '{TAG_REGEX}')
+    GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# geodesic area (Chamberlain–Duquette) over per-entity bboxes
+# ---------------------------------------------------------------------------
+
+def q_entity_bbox_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity bbox ring area via the reference's spherical-excess
+    formula (Geo.java:147-179 semantics; numpy port in functions/geo.py),
+    batched through one Arrow exchange — the areaOf measure the
+    reference applies to snapshot geometries."""
+    import pandas as pd
+
+    from oshdb_spark.functions.geo import bbox_rings_area_e7
+
+    v = load_versions(spark, sf_dir)
+    boxes = v.filter(F.col("visible")).groupBy("entity_id").agg(
+        F.min("lon_e7").alias("min_lon"),
+        F.min("lat_e7").alias("min_lat"),
+        F.max("lon_e7").alias("max_lon"),
+        F.max("lat_e7").alias("max_lat"),
+    )
+
+    def _area_fn(min_lon, min_lat, max_lon, max_lat):
+        import numpy as np
+
+        m2 = bbox_rings_area_e7(
+            min_lon.to_numpy(), min_lat.to_numpy(),
+            max_lon.to_numpy(), max_lat.to_numpy(),
+        )
+        return pd.Series(np.round(m2 / 1e6, 3))
+
+    _area_km2 = pandas_udf(_area_fn, "double")
+
+    return boxes.select(
+        "entity_id",
+        _area_km2("min_lon", "min_lat", "max_lon", "max_lat").alias("area_km2"),
+    )
+
+
+def o_entity_bbox_area() -> str:
+    # closed-form expansion of the 5-vertex rect ring's spherical excess:
+    # R^2 * (lon1-lon0) * (sin lat1 - sin lat0)
+    return f"""{_versions_cte()},
+    b AS (
+      SELECT entity_id,
+             min(lon_e7) AS min_lon, min(lat_e7) AS min_lat,
+             max(lon_e7) AS max_lon, max(lat_e7) AS max_lat
+      FROM {_V} WHERE visible GROUP BY 1
+    )
+    SELECT entity_id,
+           round(abs(
+             6371000.0 * 6371000.0
+             * (radians(max_lon * 1e-7) - radians(min_lon * 1e-7))
+             * (sin(radians(max_lat * 1e-7)) - sin(radians(min_lat * 1e-7)))
+           ) / 1e6, 3) AS area_km2
+    FROM b
+    """
+
+
+# ---------------------------------------------------------------------------
+# interleaved-docs round trip (the graft's physical input path)
+# ---------------------------------------------------------------------------
+
+def q_docs_roundtrip_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot counts computed through the FULL interleaved-document
+    path: versions -> spans encode (JVM higher-order fns) -> Arrow
+    decode (mapInPandas) -> as-of join. The oracle is the plain
+    versions-based snapshot SQL: equality proves the span encode/decode
+    round-trips losslessly (the per-row span-sequence invariant at
+    query level)."""
+    from oshdb_spark.sources.docs import docs_to_versions, versions_to_docs
+
+    v = load_versions(spark, sf_dir)
+    v2 = docs_to_versions(versions_to_docs(v))
+    t = snapshot_timestamps(spark, SNAPSHOT_TS)
+    snap = snapshots(v2, t, predicate=(F.col("tag_building") == 1))
+    return snap.groupBy("snap_ts").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# text quality + pairwise similarity (oracle-backed)
+# ---------------------------------------------------------------------------
+
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score distribution: docs bucketed by punctuation density,
+    with mean word length per bucket (Gopher-style quality signals)."""
+    from oshdb_spark.operators.text import with_text_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = with_text_features(docs)
+    return (
+        d.withColumn("punct_bucket", F.floor(F.col("punct_ratio") * 100).cast("int"))
+        .groupBy("punct_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("mean_word_len"), 6).alias("avg_word_len"),
+        )
+    )
+
+
+def o_quality_buckets() -> str:
+    n_chars = "length(text)"
+    n_punct = f"{n_chars} - length(regexp_replace(text, '[.,;:!?]', '', 'g'))"
+    return f"""
+    WITH q AS (
+      SELECT round(CAST({n_punct} AS DOUBLE) / greatest({n_chars}, 1), 6) AS punct_ratio,
+             round(CAST({n_chars} AS DOUBLE) / greatest({_TOKENS_SQL}, 1), 6) AS mean_word_len
+      FROM documents
+    )
+    SELECT CAST(floor(punct_ratio * 100) AS INT) AS punct_bucket,
+           count(*) AS n_docs,
+           round(avg(mean_word_len), 6) AS avg_word_len
+    FROM q GROUP BY 1
+    """
+
+
+JACCARD_MOD = 5
+JACCARD_THRESHOLD = 0.95
+
+
+def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard near-dup pairs on a deterministic doc
+    subset — the verification half of MinHash dedup, as a pure JVM
+    array-function join (no Python)."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % JACCARD_MOD == 0)
+        .select(
+            "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("words")
+        )
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
+    union = F.size(F.array_union(F.col("a.words"), F.col("b.words")))
+    jac = inter.cast("double") / union
+    return pairs.select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.round(jac, 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+def o_word_jaccard_pairs() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+      FROM documents WHERE doc_id % {JACCARD_MOD} = 0
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.words, b.words))), 6) AS jaccard
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= {JACCARD_THRESHOLD}
+    """
+
+
+NEARDUP_MOD = 20
+NEARDUP_COS = 0.25
+
+
+def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold join) over a
+    deterministic subset — JVM ``aggregate``/``zip_with`` dot products,
+    no Python in the pair loop."""
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % NEARDUP_MOD == 0)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    norm = emb.select(
+        "vec_id", "e", F.sqrt(dot(F.col("e"), F.col("e"))).alias("n")
+    )
+    a, b = norm.alias("a"), norm.alias("b")
+    cos = dot(F.col("a.e"), F.col("b.e")) / (F.col("a.n") * F.col("b.n"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_COS)
+    )
+
+
+def o_embed_neardup_pairs() -> str:
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE vec_id % {NEARDUP_MOD} = 0
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    ) WHERE cosine >= {NEARDUP_COS}
+    """
+
+
+def q_media_meta_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synth media table -> mapInPandas decode
+    (stubbed codec, real schema/batching) -> metadata aggregation. The
+    oracle recomputes the SQL-expressible metadata (counts, byte sizes);
+    decode-derived values are covered by tests/test_pipeline_ops.py."""
+    from oshdb_spark.operators.media import extract_features, synth_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = extract_features(synth_media(docs))
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum(F.col("width").cast("long") * F.col("height")).alias("total_px"),
+    )
+
+
+def o_media_meta_by_type() -> str:
+    return """
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           count(*) AS n_media,
+           sum(least(length(text), 64)) AS total_bytes,
+           sum(CAST((doc_id % 16) + 1 AS BIGINT) * ((doc_id % 8) + 1)) AS total_px
+    FROM documents GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
 
@@ -685,6 +1077,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_pred_counts": q_lang_pred_counts,
     "dedup_exact": q_dedup_exact,
     "ann_cosine_top5": q_ann_cosine_top5,
+    "reducer_suite_by_ts": q_reducer_suite_by_ts,
+    "uniq_users_by_building": q_uniq_users_by_building,
+    "group_by_entity_hist": q_group_by_entity_hist,
+    "contrib_by_interval_type": q_contrib_by_interval_type,
+    "tag_regex_counts": q_tag_regex_counts,
+    "entity_bbox_area": q_entity_bbox_area,
+    "docs_roundtrip_snapshot": q_docs_roundtrip_snapshot,
+    "quality_buckets": q_quality_buckets,
+    "word_jaccard_pairs": q_word_jaccard_pairs,
+    "embed_neardup_pairs": q_embed_neardup_pairs,
+    "media_meta_by_type": q_media_meta_by_type,
     # rows-only checks (non-SQL-expressible: custom LSH / IVF kernels)
     "minhash_neardup": q_minhash_neardup,
     "simhash_groups": q_simhash_groups,
@@ -707,4 +1110,17 @@ ORACLES: dict[str, str] = {
     "lang_pred_counts": o_lang_pred_counts(),
     "dedup_exact": o_dedup_exact(),
     "ann_cosine_top5": o_ann_cosine_top5(),
+    "reducer_suite_by_ts": o_reducer_suite_by_ts(),
+    "uniq_users_by_building": o_uniq_users_by_building(),
+    "group_by_entity_hist": o_group_by_entity_hist(),
+    "contrib_by_interval_type": o_contrib_by_interval_type(),
+    "tag_regex_counts": o_tag_regex_counts(),
+    "entity_bbox_area": o_entity_bbox_area(),
+    # the docs round-trip must equal the plain versions-path snapshot:
+    # that equality IS the lossless-encode/decode proof
+    "docs_roundtrip_snapshot": o_snapshot_count_by_ts(),
+    "quality_buckets": o_quality_buckets(),
+    "word_jaccard_pairs": o_word_jaccard_pairs(),
+    "embed_neardup_pairs": o_embed_neardup_pairs(),
+    "media_meta_by_type": o_media_meta_by_type(),
 }

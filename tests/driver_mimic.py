@@ -40,7 +40,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif str(df[c].dtype) in ("bool", "boolean"):
             df[c] = df[c].astype(bool)
         else:
-            df[c] = pd.to_numeric(df[c], errors="ignore")
+            try:
+                df[c] = pd.to_numeric(df[c])
+            except (ValueError, TypeError):
+                pass
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
