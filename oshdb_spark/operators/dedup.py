@@ -48,23 +48,42 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+_C2 = np.uint64(0x9E3779B97F4B9FF3)
+_C3 = np.uint64(0xC2B2AE3D27D4EB4F)
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+_WORD_HASH_CACHE: dict[str, int] = {}
+
+
+def _word_hash(w: str) -> int:
+    """FNV-1a over the word bytes, memoized — each distinct word is
+    hashed once per Python worker, so shingle hashing is O(words) dict
+    lookups + one vectorized combine instead of O(bytes) Python."""
+    h = _WORD_HASH_CACHE.get(w)
+    if h is None:
+        hv = 1469598103934665603
+        for b in w.encode():
+            hv = ((hv ^ b) * 1099511628211) & _M64
+        _WORD_HASH_CACHE[w] = h = hv
+    return h
+
+
 def _token_hashes(text: str) -> np.ndarray:
-    """Hash the word 3-gram shingles of one document to uint64."""
-    words = text.lower().split()
-    if len(words) < 3:
-        shingles = [" ".join(words)] if words else []
-    else:
-        shingles = [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
-    if not shingles:
+    """Hashes of the word 3-gram shingles of one document (uint64):
+    per-word FNV (cached) combined per-shingle in one numpy pass."""
+    words = (text or "").lower().split()
+    if not words:
         return np.zeros(1, dtype=np.uint64)
-    # stable python hash replacement: polynomial over bytes, then mixed
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        h = np.uint64(1469598103934665603)
-        for b in s.encode():
-            h = np.uint64((int(h) ^ b) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return _splitmix64(out)
+    hw = np.fromiter(
+        (_word_hash(w) for w in words), dtype=np.uint64, count=len(words)
+    )
+    if len(words) < 3:
+        acc = int(hw[0])
+        for h in hw[1:]:
+            acc = (acc ^ ((int(h) * int(_C2)) & _M64)) & _M64
+        return _splitmix64(np.array([acc], dtype=np.uint64))
+    comb = hw[:-2] ^ (hw[1:-1] * _C2) ^ (hw[2:] * _C3)  # uint64 wraps
+    return _splitmix64(comb)
 
 
 def _minhash_signature_udf():
@@ -74,13 +93,18 @@ def _minhash_signature_udf():
 
     @pandas_udf("array<long>")
     def minhash_signature(texts: pd.Series) -> pd.Series:
-        sigs = []
-        for t in texts:
-            hs = _token_hashes(t or "")
-            vals = (hs.astype(np.int64) % MERSENNE)[:, None]  # (S, 1)
-            perm = (vals * _A[None, :] + _B[None, :]) % MERSENNE  # (S, 64)
-            sigs.append(perm.min(axis=0).tolist())
-        return pd.Series(sigs)
+        per_doc = [_token_hashes(t) for t in texts]
+        if not per_doc:
+            return pd.Series([], dtype=object)
+        # one (total_shingles, 64) permutation pass for the whole Arrow
+        # batch, then a segmented min per document (reduceat)
+        counts = np.array([len(h) for h in per_doc])
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        all_hs = np.concatenate(per_doc)
+        vals = (all_hs.astype(np.int64) % MERSENNE)[:, None]  # (T, 1)
+        perm = (vals * _A[None, :] + _B[None, :]) % MERSENNE  # (T, 64)
+        mins = np.minimum.reduceat(perm, starts, axis=0)  # (docs, 64)
+        return pd.Series(list(mins.tolist()))
 
     return minhash_signature
 
@@ -88,19 +112,22 @@ def _minhash_signature_udf():
 def _simhash64_udf():
     @pandas_udf("long")
     def simhash64(texts: pd.Series) -> pd.Series:
-        """64-bit SimHash: sign of per-bit votes over shingle hashes."""
-        out = []
-        for t in texts:
-            hs = _token_hashes(t or "")
-            bits = (
-                (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            ).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for i in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(i)
-            out.append(np.int64(sig.astype(np.int64)))
-        return pd.Series(out, dtype="int64")
+        """64-bit SimHash: sign of per-bit votes over shingle hashes,
+        batched — one bit-unpack + segmented sum for the whole batch."""
+        per_doc = [_token_hashes(t) for t in texts]
+        if not per_doc:
+            return pd.Series([], dtype="int64")
+        counts = np.array([len(h) for h in per_doc])
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        all_hs = np.concatenate(per_doc)
+        bits = (
+            (all_hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.int64)  # (T, 64)
+        votes = np.add.reduceat(bits, starts, axis=0) * 2 - counts[:, None]
+        sigs = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pd.Series(sigs.astype(np.int64), dtype="int64")
 
     return simhash64
 
@@ -175,6 +202,60 @@ def jaccard_verify(
     return joined.filter(F.col("jaccard") >= threshold)
 
 
+def jaccard_similarity_join(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    tokens_col: str = "words",
+) -> DataFrame:
+    """All-pairs exact Jaccard >= threshold WITHOUT the O(n^2) cross
+    join: prefix-filtering set-similarity join (the Vernica et al. 2010
+    MapReduce formulation, standard in distributed dedup).
+
+    If J(A,B) >= t, then under any consistent global token ordering the
+    first ``|A| - ceil(t*|A|) + 1`` tokens of A and of B share at least
+    one token. So: order tokens by global frequency (rarest first, the
+    most selective choice), explode only each doc's prefix, equi-join
+    on the prefix token to get candidates, and verify exact Jaccard on
+    candidates only. Everything is JVM-side; the candidate join is a
+    plain shuffle hash join on the token key.
+
+    ``docs`` must carry ``id_col`` and an array column ``tokens_col``
+    of *distinct* tokens. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(tokens_col).alias("toks"),
+        F.size(tokens_col).alias("n"),
+    )
+    tok = d.select("id", "n", F.explode("toks").alias("w"))
+    df_w = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tok.join(df_w, "w").withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.col("df"), F.col("w"))
+        ),
+    )
+    prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1
+    prefix = ranked.filter(F.col("rank") <= prefix_len).select("id", "w")
+
+    cand = (
+        prefix.alias("pa")
+        .join(prefix.alias("pb"), "w")
+        .filter(F.col("pa.id") < F.col("pb.id"))
+        .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+        .distinct()
+    )
+    a = d.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"), F.col("n").alias("na"))
+    b = d.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"), F.col("n").alias("nb"))
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    return joined.select(
+        "id_a", "id_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= F.lit(threshold))
+
+
 def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Documents sharing an identical 64-bit SimHash signature."""
     s = docs.select(F.col(id_col).alias("id"), _simhash64_udf()(F.col(text_col)).alias("sim"))
@@ -183,3 +264,46 @@ def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
         .agg(F.count(F.lit(1)).alias("cnt"), F.array_sort(F.collect_list("id")).alias("ids"))
         .filter(F.col("cnt") > 1)
     )
+
+
+SIMHASH_BANDS = 4  # 4 x 16-bit bands: complete for hamming <= 3
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded: candidates
+    must share one of 4 16-bit signature bands (pigeonhole: complete
+    for distance <= 3; a high-recall heuristic above that), then the
+    exact distance check is a JVM ``bit_count(a ^ b)``. The multi-probe
+    band join keeps candidate generation a hash join, never O(n^2)."""
+    s = docs.select(
+        F.col(id_col).alias("id"), _simhash64_udf()(F.col(text_col)).alias("sim")
+    )
+    bands = s.select(
+        "id",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sim"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "val"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

@@ -404,7 +404,9 @@ def q_pip_diamond_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oshdb_spark.operators.spatial import filter_polygon
 
     snap = _snapshot_at(spark, sf_dir, TILE_TS)
-    hit = filter_polygon(snap, DIAMOND_LON, DIAMOND_LAT, zoom=6)
+    # zoom 8 cover: ~16x more inside cells than zoom 6, so the share of
+    # rows paying the Python PIP kernel drops from ~40% to ~8%
+    hit = filter_polygon(snap, DIAMOND_LON, DIAMOND_LAT, zoom=8)
     return hit.groupBy("tag_building").agg(F.count(F.lit(1)).alias("cnt"))
 
 
@@ -636,15 +638,15 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from oshdb_spark.operators.dedup import simhash_dup_groups
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs with exact Hamming verification
+    (rows-only: the banding recall profile is not SQL-expressible;
+    completeness for distance <= 3 is asserted in tests)."""
+    from oshdb_spark.operators.dedup import simhash_neardup_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    g = simhash_dup_groups(docs)
-    return g.select(
-        "sim",
-        "cnt",
-        F.array_join(F.transform("ids", lambda x: x.cast("string")), ",").alias("ids"),
+    return simhash_neardup_pairs(docs, max_hamming=10).select(
+        "id_a", "id_b", "hamming"
     )
 
 
@@ -943,24 +945,25 @@ JACCARD_THRESHOLD = 0.95
 
 def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-set Jaccard near-dup pairs on a deterministic doc
-    subset — the verification half of MinHash dedup, as a pure JVM
-    array-function join (no Python)."""
+    subset via the prefix-filtering set-similarity join (never the
+    O(n^2) cross join) — all JVM, verified against the oracle's
+    brute-force formulation."""
+    from oshdb_spark.operators.dedup import jaccard_similarity_join
+
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .filter(F.col("doc_id") % JACCARD_MOD == 0)
         .select(
-            "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("words")
+            "doc_id",
+            F.array_distinct(F.split(F.col("text"), " ")).alias("words"),
         )
     )
-    a, b = docs.alias("a"), docs.alias("b")
-    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
-    union = F.size(F.array_union(F.col("a.words"), F.col("b.words")))
-    jac = inter.cast("double") / union
+    # tiny threshold slack inside the join, final filter on the rounded
+    # value — keeps boundary pairs bit-identical with the oracle's
+    # round-then-compare
+    pairs = jaccard_similarity_join(docs, JACCARD_THRESHOLD - 1e-6)
     return pairs.select(
-        F.col("a.doc_id").alias("id_a"),
-        F.col("b.doc_id").alias("id_b"),
-        F.round(jac, 6).alias("jaccard"),
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
@@ -1090,7 +1093,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_meta_by_type": q_media_meta_by_type,
     # rows-only checks (non-SQL-expressible: custom LSH / IVF kernels)
     "minhash_neardup": q_minhash_neardup,
-    "simhash_groups": q_simhash_groups,
+    "simhash_neardup": q_simhash_neardup,
     "ivf_ann_top5": q_ivf_ann_top5,
 }
 

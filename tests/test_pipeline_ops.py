@@ -49,6 +49,47 @@ def test_simhash_identical_docs_share_signature(spark, docs):
     assert len(groups) == 5 and (groups.cnt == 2).all()
 
 
+def test_simhash_banded_pairs_complete_for_small_hamming(spark, docs):
+    """Pigeonhole completeness: every pair within Hamming distance 3
+    must be found by the 4x16-bit band join (a planted clone has
+    distance 0)."""
+    from oshdb_spark.operators.dedup import simhash_neardup_pairs
+
+    base = docs.limit(8).select("doc_id", "text")
+    clone = base.limit(3).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    pairs = simhash_neardup_pairs(base.unionByName(clone), max_hamming=3).toPandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    for r in base.limit(3).collect():
+        assert (r["doc_id"], r["doc_id"] + 100000) in found
+
+
+def test_jaccard_similarity_join_equals_brute_force(spark, docs):
+    """The prefix-filter join must find exactly the brute-force pairs
+    (no false negatives from the prefix bound)."""
+    from oshdb_spark.operators.dedup import jaccard_similarity_join
+
+    d = docs.limit(60).select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("words")
+    ).cache()
+    got = jaccard_similarity_join(d, 0.8).toPandas()
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
+    union = F.size(F.array_union(F.col("a.words"), F.col("b.words")))
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .toPandas()
+    )
+    assert set(map(tuple, got[["id_a", "id_b"]].values)) == set(
+        map(tuple, brute[["id_a", "id_b"]].values)
+    )
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     from oshdb_spark.queries import _ann_queries
     from oshdb_spark.operators.similarity import cosine_topk, ivf_topk
