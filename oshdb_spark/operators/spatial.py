@@ -159,6 +159,45 @@ def clip_ring_convex(
     return np.array(sx), np.array(sy)
 
 
+def np_clip_segments(
+    x1: np.ndarray,
+    y1: np.ndarray,
+    x2: np.ndarray,
+    y2: np.ndarray,
+    rx0: np.ndarray,
+    ry0: np.ndarray,
+    rx1: np.ndarray,
+    ry1: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized Liang–Barsky over segment batches: returns
+    (cx1, cy1, cx2, cy2, valid). Invalid rows (no intersection) have
+    undefined coords under a False mask. Per-boundary parameters are
+    computed exactly like the scalar ``clip_segment_bbox``; axis-parallel
+    segments (p == 0) contribute neutral bounds unless fully outside."""
+    x1 = np.asarray(x1, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    x2 = np.asarray(x2, dtype=np.float64)
+    y2 = np.asarray(y2, dtype=np.float64)
+    dx, dy = x2 - x1, y2 - y1
+    t0 = np.zeros_like(x1)
+    t1 = np.ones_like(x1)
+    reject = np.zeros(x1.shape, dtype=bool)
+    for p, q in (
+        (-dx, x1 - rx0),
+        (dx, rx1 - x1),
+        (-dy, y1 - ry0),
+        (dy, ry1 - y1),
+    ):
+        zero = p == 0
+        reject |= zero & (q < 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(zero, 0.0, q / np.where(zero, 1.0, p))
+        t0 = np.where(~zero & (p < 0), np.maximum(t0, r), t0)
+        t1 = np.where(~zero & (p > 0), np.minimum(t1, r), t1)
+    valid = ~reject & (t0 <= t1)
+    return x1 + t0 * dx, y1 + t0 * dy, x1 + t1 * dx, y1 + t1 * dy, valid
+
+
 # ---------------------------------------------------------------------------
 # cell cover (3-way classification, driver-side)
 # ---------------------------------------------------------------------------

@@ -1032,6 +1032,170 @@ def o_embed_neardup_pairs() -> str:
     """
 
 
+def q_region_clipped_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregateByGeometry with geometry CLIPPING (GeometrySplitter
+    semantics, GeometrySplitter.java:110-123): each entity's
+    modification-trajectory segments are clipped to every overlapping
+    sub-region (vectorized Liang–Barsky batch kernel), lengths via the
+    reference equirectangular formula, summed per region. Carries the
+    reference's additivity invariant: left + right == total (regions
+    from REGIONS partition the plane along lon=200000000.5e-7)."""
+    import pandas as pd
+
+    from oshdb_spark.functions.geo import EARTH_RADIUS
+    from oshdb_spark.operators.spatial import np_clip_segments
+
+    v = load_versions(spark, sf_dir).select("entity_id", "version", "lon_e7", "lat_e7")
+    w = Window.partitionBy("entity_id").orderBy("version")
+    segs = (
+        v.withColumn("plon", F.lag("lon_e7").over(w))
+        .withColumn("plat", F.lag("lat_e7").over(w))
+        .filter(F.col("plon").isNotNull())
+    )
+    entries = [
+        F.struct(
+            F.lit(name).alias("region_key"),
+            F.lit(float(b[0])).alias("rx0"),
+            F.lit(float(b[1])).alias("ry0"),
+            F.lit(float(b[2])).alias("rx1"),
+            F.lit(float(b[3])).alias("ry1"),
+        )
+        for name, b in REGIONS.items()
+    ]
+    exploded = segs.withColumn("_r", F.explode(F.array(*entries)))
+
+    def _cliplen_fn(x1, y1, x2, y2, rx0, ry0, rx1, ry1):
+        import numpy as np
+
+        cx1, cy1, cx2, cy2, valid = np_clip_segments(
+            x1.to_numpy(), y1.to_numpy(), x2.to_numpy(), y2.to_numpy(),
+            rx0.to_numpy(), ry0.to_numpy(), rx1.to_numpy(), ry1.to_numpy(),
+        )
+        dlng = np.radians((cx2 - cx1) * 1e-7) * np.cos(
+            np.radians(((cy1 + cy2) * 1e-7) / 2.0)
+        )
+        dlat = np.radians((cy2 - cy1) * 1e-7)
+        out = EARTH_RADIUS * np.sqrt(dlng * dlng + dlat * dlat)
+        return pd.Series(np.where(valid, out, 0.0))
+
+    cliplen = pandas_udf(_cliplen_fn, "double")
+    lengths = exploded.select(
+        F.col("_r.region_key").alias("region_key"),
+        cliplen(
+            F.col("plon").cast("double"), F.col("plat").cast("double"),
+            F.col("lon_e7").cast("double"), F.col("lat_e7").cast("double"),
+            F.col("_r.rx0"), F.col("_r.ry0"), F.col("_r.rx1"), F.col("_r.ry1"),
+        ).alias("len_m"),
+    )
+    grouped = lengths.groupBy("region_key").agg(
+        F.round(F.sum("len_m") / 1000.0, 2).alias("len_km")
+    )
+    universe = lit_df(spark, "region_key", list(REGIONS), "string")
+    return zerofill(grouped, [universe], {"len_km": 0.0})
+
+
+def o_region_clipped_length() -> str:
+    # Liang–Barsky as SQL: same parametric bounds as the engine kernel
+    def t0x(rx0, rx1):
+        return (
+            f"CASE WHEN dx > 0 THEN ({rx0} - x1) / dx "
+            f"WHEN dx < 0 THEN ({rx1} - x1) / dx ELSE 0 END"
+        )
+
+    def t1x(rx0, rx1):
+        return (
+            f"CASE WHEN dx > 0 THEN ({rx1} - x1) / dx "
+            f"WHEN dx < 0 THEN ({rx0} - x1) / dx ELSE 1 END"
+        )
+
+    def t0y(ry0, ry1):
+        return (
+            f"CASE WHEN dy > 0 THEN ({ry0} - y1) / dy "
+            f"WHEN dy < 0 THEN ({ry1} - y1) / dy ELSE 0 END"
+        )
+
+    def t1y(ry0, ry1):
+        return (
+            f"CASE WHEN dy > 0 THEN ({ry1} - y1) / dy "
+            f"WHEN dy < 0 THEN ({ry0} - y1) / dy ELSE 1 END"
+        )
+
+    region_sql = []
+    for name, (rx0, ry0, rx1, ry1) in REGIONS.items():
+        region_sql.append(f"""
+        SELECT '{name}' AS region_key,
+               greatest(0, {t0x(rx0, rx1)}, {t0y(ry0, ry1)}) AS t0,
+               least(1, {t1x(rx0, rx1)}, {t1y(ry0, ry1)}) AS t1,
+               (dx = 0 AND (x1 < {rx0} OR x1 > {rx1})) OR
+               (dy = 0 AND (y1 < {ry0} OR y1 > {ry1})) AS rej,
+               x1, y1, dx, dy
+        FROM segs""")
+    unioned = " UNION ALL ".join(region_sql)
+    keys = ", ".join(f"('{k}')" for k in REGIONS)
+    return f"""{_versions_cte()},
+    segs AS (
+      SELECT CAST(lag(lon_e7) OVER win AS DOUBLE) AS x1,
+             CAST(lag(lat_e7) OVER win AS DOUBLE) AS y1,
+             CAST(lon_e7 AS DOUBLE) - CAST(lag(lon_e7) OVER win AS DOUBLE) AS dx,
+             CAST(lat_e7 AS DOUBLE) - CAST(lag(lat_e7) OVER win AS DOUBLE) AS dy
+      FROM {_V}
+      WINDOW win AS (PARTITION BY entity_id ORDER BY version)
+      QUALIFY lag(lon_e7) OVER win IS NOT NULL
+    ),
+    clipped AS (
+      SELECT region_key,
+        CASE WHEN NOT rej AND t0 <= t1 THEN
+          6371000.0 * sqrt(
+            (radians(((x1 + t1 * dx) - (x1 + t0 * dx)) * 1e-7)
+             * cos(radians((((y1 + t0 * dy) + (y1 + t1 * dy)) * 1e-7) / 2.0)))
+          * (radians(((x1 + t1 * dx) - (x1 + t0 * dx)) * 1e-7)
+             * cos(radians((((y1 + t0 * dy) + (y1 + t1 * dy)) * 1e-7) / 2.0)))
+          + radians(((y1 + t1 * dy) - (y1 + t0 * dy)) * 1e-7)
+            * radians(((y1 + t1 * dy) - (y1 + t0 * dy)) * 1e-7)
+          )
+        ELSE 0.0 END AS len_m
+      FROM ({unioned})
+    ),
+    g AS (
+      SELECT region_key, round(sum(len_m) / 1000.0, 2) AS len_km
+      FROM clipped GROUP BY 1
+    )
+    SELECT r.region_key, coalesce(g.len_km, 0.0) AS len_km
+    FROM (VALUES {keys}) r(region_key) LEFT JOIN g USING (region_key)
+    """
+
+
+SALT_ZOOM = 4
+SALT_FACTOR = 16
+
+
+def q_salted_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-cell-safe aggregation through the two-stage salted combine
+    (runtime.salted_count): per-cell version counts at zoom 4. The
+    oracle is the plain GROUP BY — equality proves salting is
+    semantics-preserving, which is what lets the engine enable it on
+    skewed urban cells without changing results."""
+    from oshdb_spark.grid import cell_id_col
+    from oshdb_spark.runtime import salted_count
+
+    v = load_versions(spark, sf_dir).withColumn(
+        "cell_id", cell_id_col(SALT_ZOOM, F.col("lon_e7"), F.col("lat_e7"))
+    )
+    return salted_count(v, ["cell_id"], factor=SALT_FACTOR, row_entropy="event_id")
+
+
+def o_salted_cell_counts() -> str:
+    n = 1 << SALT_ZOOM
+    return f"""{_versions_cte()}
+    SELECT (CASE WHEN lat_e7 + {LAT_MAX} = {WORLD_LAT} THEN {WORLD_LAT} - 1
+                 ELSE lat_e7 + {LAT_MAX} END) * {n} // {WORLD_LON} * {n}
+         + (CASE WHEN lon_e7 + {LON_MAX} = {WORLD_LON} THEN 0
+                 ELSE lon_e7 + {LON_MAX} END) * {n} // {WORLD_LON} AS cell_id,
+           count(*) AS cnt
+    FROM {_V} GROUP BY 1
+    """
+
+
 def q_media_meta_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synth media table -> mapInPandas decode
     (stubbed codec, real schema/batching) -> metadata aggregation. The
@@ -1091,6 +1255,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "word_jaccard_pairs": q_word_jaccard_pairs,
     "embed_neardup_pairs": q_embed_neardup_pairs,
     "media_meta_by_type": q_media_meta_by_type,
+    "region_clipped_length": q_region_clipped_length,
+    "salted_cell_counts": q_salted_cell_counts,
     # rows-only checks (non-SQL-expressible: custom LSH / IVF kernels)
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
@@ -1126,4 +1292,6 @@ ORACLES: dict[str, str] = {
     "word_jaccard_pairs": o_word_jaccard_pairs(),
     "embed_neardup_pairs": o_embed_neardup_pairs(),
     "media_meta_by_type": o_media_meta_by_type(),
+    "region_clipped_length": o_region_clipped_length(),
+    "salted_cell_counts": o_salted_cell_counts(),
 }
