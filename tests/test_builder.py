@@ -1,0 +1,103 @@
+"""Fluent MapReducer-style API: each chained query must equal the
+equivalent hand-built operator pipeline (the builder owns assembly
+only, semantics live in operators/)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oshdb_spark.plans import ContributionView, SnapshotView
+from oshdb_spark.plans.builder import key_universe
+from oshdb_spark.queries import BBOX, REGIONS, TILE_TS
+from oshdb_spark.sources.versions import SNAPSHOT_TS, load_versions
+
+
+def _as_dict(df, *keys):
+    return {tuple(r[k] for k in keys[:-1]): r[keys[-1]] for r in df.collect()}
+
+
+def test_snapshot_fluent_count_matches_catalog(spark, sf_dir):
+    from oshdb_spark.queries import q_snapshot_count_by_ts
+
+    v = load_versions(spark, sf_dir)
+    got = (
+        SnapshotView.on(v)
+        .timestamps(SNAPSHOT_TS)
+        .where_tag("tag_building", 1)
+        .aggregate_by_timestamp()
+        .count()
+    )
+    expected = q_snapshot_count_by_ts(spark, sf_dir)
+    assert _as_dict(got, "snap_ts", "cnt") == _as_dict(expected, "snap_ts", "cnt")
+
+
+def test_snapshot_fluent_bbox_and_uniq(spark, sf_dir):
+    v = load_versions(spark, sf_dir)
+    view = (
+        SnapshotView.on(v)
+        .timestamps(SNAPSHOT_TS)
+        .area_of_interest(bbox=BBOX)
+        .aggregate_by_timestamp()
+    )
+    got = view.count_uniq("uid")
+    from oshdb_spark.queries import q_snapshot_bbox_count_by_ts
+
+    expected = q_snapshot_bbox_count_by_ts(spark, sf_dir)
+    assert _as_dict(got, "snap_ts", "n_uniq") == _as_dict(
+        expected, "snap_ts", "uniq_users"
+    )
+
+
+def test_builder_is_immutable(spark, sf_dir):
+    v = load_versions(spark, sf_dir)
+    base = SnapshotView.on(v).timestamps(SNAPSHOT_TS)
+    filtered = base.where_tag("tag_building", 1)
+    all_cnt = base.aggregate_by_timestamp().count().collect()
+    tag_cnt = filtered.aggregate_by_timestamp().count().collect()
+    assert sum(r["cnt"] for r in all_cnt) > sum(r["cnt"] for r in tag_cnt)
+
+
+def test_contribution_fluent_interval_floor(spark, sf_dir):
+    from oshdb_spark.queries import q_contrib_by_interval_type
+
+    v = load_versions(spark, sf_dir)
+    got = (
+        ContributionView.on(v)
+        .timestamps(SNAPSHOT_TS)
+        .aggregate_by_timestamp()
+        .aggregate_by("contrib_type")
+        .count()
+    )
+    expected = q_contrib_by_interval_type(spark, sf_dir)
+    assert _as_dict(got, "bucket_ts", "contrib_type", "cnt") == _as_dict(
+        expected, "bucket_ts", "contrib_type", "cnt"
+    )
+
+
+def test_fluent_geometry_overlay_with_zerofill(spark, sf_dir):
+    from oshdb_spark.queries import q_agg_by_region
+
+    v = load_versions(spark, sf_dir)
+    universe = key_universe(spark, "region_key", list(REGIONS), "string")
+    got = (
+        SnapshotView.on(v)
+        .timestamps([TILE_TS])
+        .aggregate_by_geometry(REGIONS)
+        .zerofill_with(universe)
+        .count()
+    )
+    expected = q_agg_by_region(spark, sf_dir)
+    assert _as_dict(got, "region_key", "cnt") == _as_dict(expected, "region_key", "cnt")
+
+
+def test_fluent_generic_reduce_and_map(spark, sf_dir):
+    v = load_versions(spark, sf_dir)
+    got = (
+        SnapshotView.on(v)
+        .timestamps([TILE_TS])
+        .map(lambda df: df.withColumn("vv", F.col("tag_v") * 2))
+        .aggregate_by_timestamp()
+        .reduce(F.sum("vv").alias("s"), F.max("vv").alias("m"))
+        .collect()
+    )
+    assert len(got) == 1 and got[0]["s"] > 0 and got[0]["m"] <= 8
