@@ -89,19 +89,25 @@ def knn(
     )
 
     w = Window.partitionBy("q_id").orderBy("dist2", "entity_id")
-    ranked = cand.withColumn("rank", F.row_number().over(w))
-
+    w_all = Window.partitionBy("q_id")
     bound = float(ring * w_cell) ** 2
-    stats = ranked.groupBy("q_id").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.max(F.when(F.col("rank") <= k, F.col("dist2"))).alias("dk"),
+    # guarantee stats as window columns over the SAME partitioning as the
+    # rank — one exchange, two Window nodes, no groupBy+re-join (the
+    # naive stats-join plan computes the candidate subtree three times)
+    ranked = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .withColumn("_cnt", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "_dk", F.max(F.when(F.col("rank") <= k, F.col("dist2"))).over(w_all)
+        )
+        .withColumn("_ok", (F.col("_cnt") >= k) & (F.col("_dk") < F.lit(bound)))
     )
-    ok = stats.filter((F.col("cnt") >= k) & (F.col("dk") < F.lit(bound))).select("q_id")
 
-    exact_part = ranked.join(F.broadcast(ok), "q_id").filter(F.col("rank") <= k)
+    exact_part = ranked.filter(F.col("_ok") & (F.col("rank") <= k))
 
     # fallback: queries without a ring guarantee get a full scan (exactness
     # over speed for the sparse tail; production density makes this rare)
+    ok = ranked.filter(F.col("_ok")).select("q_id").distinct()
     fb_q = queries.join(F.broadcast(ok), "q_id", "left_anti")
     fb = (
         F.broadcast(fb_q)

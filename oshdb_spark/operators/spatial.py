@@ -292,9 +292,43 @@ def filter_polygon(
     poly_lat_e7: list[int],
     zoom: int = 6,
 ) -> DataFrame:
-    return polygon_contains_col(df, poly_lon_e7, poly_lat_e7, zoom).filter(
-        F.col("_in_aoi")
-    ).drop("_in_aoi")
+    """Keep rows inside the polygon, as a UNION of the inside-cell branch
+    (no Python at all) and the boundary-cell branch (PIP kernel).
+
+    Deliberately NOT ``polygon_contains_col(...).filter(...)``: Catalyst
+    extracts Python UDFs out of CASE WHEN into an ArrowEvalPython node
+    evaluated for *every* row, so the when/otherwise shortcut would
+    still pay Python on inside rows. The union keeps ArrowEvalPython
+    physically inside the boundary branch only; the shared upstream
+    subtree is deduplicated by exchange reuse."""
+    cover = polygon_cover(np.array(poly_lon_e7), np.array(poly_lat_e7), zoom)
+    inside_cells = sorted(cover[INSIDE])
+    boundary_cells = sorted(cover[BOUNDARY])
+
+    px = np.asarray(poly_lon_e7, dtype=np.float64)
+    py = np.asarray(poly_lat_e7, dtype=np.float64)
+
+    @pandas_udf("boolean")
+    def _pip(lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
+        return pd.Series(pip_mask(lon_s.to_numpy(), lat_s.to_numpy(), px, py))
+
+    base = df.withColumn(
+        "_cell", cell_id_col(zoom, F.col("lon_e7"), F.col("lat_e7"))
+    )
+    inside = base.filter(F.col("_cell").isin(inside_cells)) if inside_cells else None
+    boundary = (
+        base.filter(F.col("_cell").isin(boundary_cells)).filter(
+            _pip(F.col("lon_e7"), F.col("lat_e7"))
+        )
+        if boundary_cells
+        else None
+    )
+    if inside is None and boundary is None:
+        return base.filter(F.lit(False)).drop("_cell")
+    out = inside if boundary is None else (
+        boundary if inside is None else inside.unionByName(boundary)
+    )
+    return out.drop("_cell")
 
 
 def bbox_filter_col(bbox: tuple[int, int, int, int], lon="lon_e7", lat="lat_e7") -> Column:
