@@ -323,6 +323,50 @@ def cell_xy_cols(zoom: int, lon_e7: "Column", lat_e7: "Column") -> tuple["Column
     return x, y
 
 
+def insert_level_cols(
+    min_lon: "Column", min_lat: "Column", max_lon: "Column", max_lat: "Column",
+    maxzoom: int = MAXZOOM,
+) -> tuple["Column", "Column"]:
+    """(zoom, cell_id) storage assignment of a bbox as pure Column
+    expressions — the insert-level rule (deepest zoom with estimated
+    cell count <= 2, anchored at the SW corner; ``XYGridTree.java:89-97``,
+    estimate ``XYGrid.java:203-214``) for the whole table at once.
+
+    Double division is exact-enough for the same reason as
+    ``cell_id_col``: products stay < 2^47 and the closest quotient to an
+    integer boundary is 1/3.6e9, orders of magnitude above double ulp.
+    """
+    W = float(WORLD_LON)
+
+    def fdiv(c, n):
+        return F.floor((c * n) / F.lit(W)).cast("long")
+
+    def cdiv(c, n):
+        return (-F.floor((-c * n) / F.lit(W))).cast("long")
+
+    zoom_expr = None
+    for z in range(maxzoom, -1, -1):
+        n = F.lit(1 << z)
+        est = F.greatest(
+            cdiv(max_lon, n) - fdiv(min_lon, n),
+            cdiv(max_lat, n) - fdiv(min_lat, n),
+        )
+        cond = est <= 2
+        zoom_expr = (
+            F.when(cond, F.lit(z)) if zoom_expr is None else zoom_expr.when(cond, F.lit(z))
+        )
+    zoom = zoom_expr.otherwise(F.lit(0))
+    # shiftleft needs a literal bit count; pow is exact for 2^0..2^15
+    nz = F.pow(F.lit(2.0), zoom.cast("double")).cast("long")
+    lon = min_lon + F.lit(LON_MAX)
+    lat = min_lat + F.lit(LAT_MAX)
+    lon = F.when(lon == F.lit(WORLD_LON), F.lit(0)).otherwise(lon)
+    lat = F.when(lat == F.lit(WORLD_LAT), lat - F.lit(1)).otherwise(lat)
+    x = F.floor((lon * nz) / F.lit(W)).cast("long")
+    y = F.floor((lat * nz) / F.lit(W)).cast("long")
+    return zoom, y * nz + x
+
+
 @dataclass(frozen=True)
 class BBox:
     """Fixed-point bounding box helper."""

@@ -291,16 +291,24 @@ def filter_polygon(
     poly_lon_e7: list[int],
     poly_lat_e7: list[int],
     zoom: int = 6,
+    strategy: str = "inline",
 ) -> DataFrame:
-    """Keep rows inside the polygon, as a UNION of the inside-cell branch
-    (no Python at all) and the boundary-cell branch (PIP kernel).
+    """Keep rows inside the polygon. Both strategies prune
+    outside-cells BEFORE any Python (the partition-pruning analog —
+    the optimization that matters at 100 TB); they differ in how
+    inside-cell rows bypass the kernel:
 
-    Deliberately NOT ``polygon_contains_col(...).filter(...)``: Catalyst
-    extracts Python UDFs out of CASE WHEN into an ArrowEvalPython node
-    evaluated for *every* row, so the when/otherwise shortcut would
-    still pay Python on inside rows. The union keeps ArrowEvalPython
-    physically inside the boundary branch only; the shared upstream
-    subtree is deduplicated by exchange reuse."""
+    * ``inline`` (default): one upstream pass; after the cell prune, a
+      CASE-guarded PIP filter. Catalyst extracts the UDF into an
+      ArrowEvalPython over all *surviving* rows (inside rows pay the
+      vectorized kernel unnecessarily), but the expensive upstream
+      (scan/window/join) executes exactly once. Measured faster
+      whenever upstream >> kernel, which is the common shape.
+    * ``union``: inside branch (zero Python) unioned with boundary
+      branch (kernel) — Python only on boundary rows, but the upstream
+      subtree executes once per branch (minus exchange reuse). Wins
+      only when the input is a cheap scan and the AOI is huge.
+    """
     cover = polygon_cover(np.array(poly_lon_e7), np.array(poly_lat_e7), zoom)
     inside_cells = sorted(cover[INSIDE])
     boundary_cells = sorted(cover[BOUNDARY])
@@ -315,6 +323,22 @@ def filter_polygon(
     base = df.withColumn(
         "_cell", cell_id_col(zoom, F.col("lon_e7"), F.col("lat_e7"))
     )
+    if not inside_cells and not boundary_cells:
+        return base.filter(F.lit(False)).drop("_cell")
+
+    if strategy == "inline":
+        pruned = base.filter(F.col("_cell").isin(inside_cells + boundary_cells))
+        if not boundary_cells:
+            return pruned.drop("_cell")
+        keep = (
+            _pip(F.col("lon_e7"), F.col("lat_e7"))
+            if not inside_cells
+            else F.when(F.col("_cell").isin(inside_cells), F.lit(True)).otherwise(
+                _pip(F.col("lon_e7"), F.col("lat_e7"))
+            )
+        )
+        return pruned.filter(keep).drop("_cell")
+
     inside = base.filter(F.col("_cell").isin(inside_cells)) if inside_cells else None
     boundary = (
         base.filter(F.col("_cell").isin(boundary_cells)).filter(
@@ -323,8 +347,6 @@ def filter_polygon(
         if boundary_cells
         else None
     )
-    if inside is None and boundary is None:
-        return base.filter(F.lit(False)).drop("_cell")
     out = inside if boundary is None else (
         boundary if inside is None else inside.unionByName(boundary)
     )

@@ -1165,6 +1165,68 @@ def o_region_clipped_length() -> str:
     """
 
 
+def q_insert_level_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-zoom storage assignment: each entity's bbox is inserted at
+    the deepest zoom whose cell-count estimate is <= 2, anchored SW
+    (XYGridTree.java:89-97) — the rule that puts large/moving objects
+    in coarse cells. Histogram of (zoom, #entities, #distinct cells)."""
+    from oshdb_spark.grid import insert_level_cols
+
+    v = load_versions(spark, sf_dir)
+    boxes = v.filter(F.col("visible")).groupBy("entity_id").agg(
+        F.min("lon_e7").alias("min_lon"),
+        F.min("lat_e7").alias("min_lat"),
+        F.max("lon_e7").alias("max_lon"),
+        F.max("lat_e7").alias("max_lat"),
+    )
+    zoom, cell = insert_level_cols(
+        F.col("min_lon"), F.col("min_lat"), F.col("max_lon"), F.col("max_lat")
+    )
+    assigned = boxes.select(zoom.alias("zoom"), cell.alias("cell_id"))
+    return assigned.groupBy("zoom").agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.count_distinct("cell_id").alias("n_cells"),
+    )
+
+
+def o_insert_level_hist() -> str:
+    W = 3_600_000_000
+
+    # NB: DuckDB's // truncates toward zero on negatives (Python floors),
+    # so the estimate uses explicit floor/ceil over double division —
+    # the same arithmetic the engine's Column expressions use
+    def est(z: int) -> str:
+        n = 1 << z
+        return (
+            f"greatest(ceil((max_lon * {n}) / {W}.0) - floor((min_lon * {n}) / {W}.0), "
+            f"ceil((max_lat * {n}) / {W}.0) - floor((min_lat * {n}) / {W}.0))"
+        )
+
+    zoom_case = "CASE " + " ".join(
+        f"WHEN {est(z)} <= 2 THEN {z}" for z in range(15, -1, -1)
+    ) + " ELSE 0 END"
+    return f"""{_versions_cte()},
+    b AS (
+      SELECT entity_id,
+             min(lon_e7) AS min_lon, min(lat_e7) AS min_lat,
+             max(lon_e7) AS max_lon, max(lat_e7) AS max_lat
+      FROM {_V} WHERE visible GROUP BY 1
+    ),
+    z AS (SELECT *, {zoom_case} AS zoom FROM b),
+    a AS (
+      SELECT zoom,
+             ((CASE WHEN min_lat + {LAT_MAX} = {WORLD_LAT} THEN {WORLD_LAT} - 1
+                    ELSE min_lat + {LAT_MAX} END) * (1::BIGINT << zoom)) // {W}
+             * (1::BIGINT << zoom)
+           + ((CASE WHEN min_lon + {LON_MAX} = {WORLD_LON} THEN 0
+                    ELSE min_lon + {LON_MAX} END) * (1::BIGINT << zoom)) // {W} AS cell_id
+      FROM z
+    )
+    SELECT zoom, count(*) AS n_entities, count(DISTINCT cell_id) AS n_cells
+    FROM a GROUP BY 1
+    """
+
+
 SALT_ZOOM = 4
 SALT_FACTOR = 16
 
@@ -1257,6 +1319,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_meta_by_type": q_media_meta_by_type,
     "region_clipped_length": q_region_clipped_length,
     "salted_cell_counts": q_salted_cell_counts,
+    "insert_level_hist": q_insert_level_hist,
     # rows-only checks (non-SQL-expressible: custom LSH / IVF kernels)
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
@@ -1294,4 +1357,5 @@ ORACLES: dict[str, str] = {
     "media_meta_by_type": o_media_meta_by_type(),
     "region_clipped_length": o_region_clipped_length(),
     "salted_cell_counts": o_salted_cell_counts(),
+    "insert_level_hist": o_insert_level_hist(),
 }

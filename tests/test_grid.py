@@ -124,3 +124,36 @@ def test_morton_prefix_hierarchy():
 def test_pack_unpack():
     packed = grid.pack_cell(12, 34567)
     assert grid.unpack_cell(packed) == (12, 34567)
+
+
+def test_insert_level_cols_match_python(spark):
+    """The Column-expression insert rule must equal the scalar
+    ``insert_cell`` on randomized bboxes (seeded)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(300):
+        lon = rng.randrange(-grid.LON_MAX, grid.LON_MAX - 1)
+        lat = rng.randrange(-grid.LAT_MAX, grid.LAT_MAX - 1)
+        w = rng.choice([0, 1, 10_000, 1_000_000, 50_000_000, 900_000_000])
+        h = rng.choice([0, 1, 10_000, 1_000_000, 50_000_000, 400_000_000])
+        rows.append(
+            (lon, lat, min(lon + w, grid.LON_MAX), min(lat + h, grid.LAT_MAX))
+        )
+    df = spark.createDataFrame(
+        rows, "min_lon long, min_lat long, max_lon long, max_lat long"
+    )
+    zoom, cell = grid.insert_level_cols(
+        F.col("min_lon"), F.col("min_lat"), F.col("max_lon"), F.col("max_lat")
+    )
+    got = df.select(
+        "min_lon", "min_lat", "max_lon", "max_lat", zoom.alias("z"), cell.alias("c")
+    ).collect()
+    for r in got:
+        ez, ec = grid.insert_cell(
+            (r["min_lon"], r["min_lat"], r["max_lon"], r["max_lat"])
+        )
+        assert (r["z"], r["c"]) == (ez, ec), r
