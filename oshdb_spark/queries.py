@@ -1227,6 +1227,118 @@ def o_insert_level_hist() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# way analog: versioned LINE / POLYGON geometries through the line: docs graft
+# ---------------------------------------------------------------------------
+
+def _ways_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Way versions as-of TILE_TS, decoded through the full line:-span
+    round trip (ways -> interleaved docs -> decode)."""
+    from oshdb_spark.sources.ways import derive_ways, docs_to_ways, ways_to_docs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ways = docs_to_ways(ways_to_docs(derive_ways(ev)))
+    return ways.filter(
+        F.col("visible")
+        & (F.lit(TILE_TS) >= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.lit(TILE_TS) < F.col("valid_to")))
+    )
+
+
+def _ways_oracle_asof_cte() -> str:
+    from oshdb_spark.sources.ways import ways_sql
+
+    return f"""WITH wy AS ({ways_sql()}),
+    ao AS (
+      SELECT * FROM wy
+      WHERE visible AND {TILE_TS} >= ts AND (valid_to IS NULL OR {TILE_TS} < valid_to)
+    )"""
+
+
+def q_way_length_at_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Way -> LineString analog (OSMWay geometry as-of a timestamp,
+    OSHDBGeometryBuilder.java:88-94): geodesic length of each way's
+    5-vertex polyline via the batched equirectangular kernel."""
+    import numpy as np
+    import pandas as pd
+
+    from oshdb_spark.functions.geo import EARTH_RADIUS
+
+    def _len_fn(lon_arr, lat_arr):
+        lon = np.stack(lon_arr.to_numpy()) * 1e-7  # (N, 5)
+        lat = np.stack(lat_arr.to_numpy()) * 1e-7
+        dlat = np.radians(lat[:, 1:] - lat[:, :-1])
+        dlng = np.radians(lon[:, 1:] - lon[:, :-1]) * np.cos(
+            np.radians((lat[:, 1:] + lat[:, :-1]) / 2.0)
+        )
+        total = (EARTH_RADIUS * np.sqrt(dlng * dlng + dlat * dlat)).sum(axis=1)
+        return pd.Series(np.round(total, 4))
+
+    way_len = pandas_udf(_len_fn, "double")
+    w = _ways_asof(spark, sf_dir)
+    return w.select("way_id", way_len("lon_arr", "lat_arr").alias("len_m"))
+
+
+def o_way_length_at_ts() -> str:
+    from oshdb_spark.sources.ways import lat_sql, lon_sql
+
+    terms = []
+    for j in range(4):
+        dlng = (
+            f"radians(({lon_sql(j + 1)} - {lon_sql(j)}) * 1e-7)"
+            f" * cos(radians((({lat_sql(j + 1)} + {lat_sql(j)}) * 1e-7) / 2.0))"
+        )
+        dlat = f"radians(({lat_sql(j + 1)} - {lat_sql(j)}) * 1e-7)"
+        terms.append(f"6371000.0 * sqrt(({dlng}) * ({dlng}) + ({dlat}) * ({dlat}))")
+    total = " + ".join(terms)
+    return f"""{_ways_oracle_asof_cte()}
+    SELECT way_id, round({total}, 4) AS len_m FROM ao
+    """
+
+
+def q_way_poly_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Way -> Polygon analog (closed area way, OSHDBGeometryBuilder
+    isArea path :95-101): the way ring closed back to its first vertex,
+    area via the batched Chamberlain–Duquette kernel."""
+    import numpy as np
+    import pandas as pd
+
+    from oshdb_spark.functions.geo import rings_area
+
+    def _area_fn(lon_arr, lat_arr):
+        lon = np.stack(lon_arr.to_numpy()) * 1e-7
+        lat = np.stack(lat_arr.to_numpy()) * 1e-7
+        lon_c = np.concatenate([lon, lon[:, :1]], axis=1)  # close the ring
+        lat_c = np.concatenate([lat, lat[:, :1]], axis=1)
+        return pd.Series(np.round(np.abs(rings_area(lon_c, lat_c)) / 1e6, 4))
+
+    poly_area = pandas_udf(_area_fn, "double")
+    w = _ways_asof(spark, sf_dir)
+    return w.select("way_id", poly_area("lon_arr", "lat_arr").alias("area_km2"))
+
+
+def o_way_poly_area() -> str:
+    from oshdb_spark.sources.ways import lat_sql, lon_sql
+
+    # closed 6-vertex ring r = [0,1,2,3,4,0]; C-D terms
+    # sum_i (x[(i+2) % 6] - x[i]) * sin(y[(i+1) % 6])
+    ring = [0, 1, 2, 3, 4, 0]
+    terms = []
+    for i in range(6):
+        x3 = lon_sql(ring[(i + 2) % 6])
+        x1 = lon_sql(ring[i])
+        y2 = lat_sql(ring[(i + 1) % 6])
+        terms.append(
+            f"(radians({x3} * 1e-7) - radians({x1} * 1e-7)) * sin(radians({y2} * 1e-7))"
+        )
+    total = " + ".join(terms)
+    return f"""{_ways_oracle_asof_cte()}
+    SELECT way_id,
+           round(abs(({total}) * 6371000.0 * 6371000.0 / 2.0) / 1e6, 4) AS area_km2
+    FROM ao
+    """
+
+
 SALT_ZOOM = 4
 SALT_FACTOR = 16
 
@@ -1320,6 +1432,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_clipped_length": q_region_clipped_length,
     "salted_cell_counts": q_salted_cell_counts,
     "insert_level_hist": q_insert_level_hist,
+    "way_length_at_ts": q_way_length_at_ts,
+    "way_poly_area": q_way_poly_area,
     # rows-only checks (non-SQL-expressible: custom LSH / IVF kernels)
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
@@ -1358,4 +1472,6 @@ ORACLES: dict[str, str] = {
     "region_clipped_length": o_region_clipped_length(),
     "salted_cell_counts": o_salted_cell_counts(),
     "insert_level_hist": o_insert_level_hist(),
+    "way_length_at_ts": o_way_length_at_ts(),
+    "way_poly_area": o_way_poly_area(),
 }

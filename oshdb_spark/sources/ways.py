@@ -1,0 +1,222 @@
+"""Way-analog entities: versioned LINE/POLYGON geometries.
+
+The reference's ways resolve member nodes as-of a timestamp and build
+LineString/Polygon geometries (``OSMWay.java:30-35``,
+``OSHDBGeometryBuilder.java:66-139``); per SURVEY §7.0 the graft
+pre-assembles geometry per version, so a way version carries its full
+coordinate array. This module derives a deterministic way table from
+``events`` (SQL-expressible in both engines, like
+``sources/versions.py``) and round-trips it through the interleaved-doc
+``line:`` span encoding of FIXTURES.md §1:
+
+    geom span text = "line:<lon1>,<lat1>;<lon2>,<lat2>;..."   (e7 ints)
+
+Derivation (seeded solely by event_id/ts):
+
+* ``way_id  = event_id % WAY_MOD``
+* ``version = row_number over (way_id ORDER BY ts, event_id)``
+* 5-vertex polyline: ``lon_j = base_lon(way) + j * delta(version)``,
+  ``lat_j = base_lat(way) + j^2 * LAT_CURVE + wiggle(version)`` — the
+  version-dependent terms make GEOMETRY_CHANGE transitions real.
+
+Everything engine-side is JVM Column expressions (arrays built with
+``transform`` over a literal index sequence; encode/decode via
+higher-order functions) — geometry kernels are the only Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+WAY_MOD = 60
+N_PTS = 5
+LON_A = 61_000_019
+LAT_A = 31_000_019
+LON_SPAN = 3_400_000_000
+LAT_SPAN = 1_600_000_000
+LON_OFF = 1_700_000_000
+LAT_OFF = 800_000_000
+DELTA_BASE = 1_000_000
+DELTA_STEP = 10_000
+LAT_CURVE = 5_000
+WIGGLE = 11_000
+
+
+def derive_ways(ev: DataFrame, way_mod: int = WAY_MOD) -> DataFrame:
+    """ways(way_id, version, ts, valid_to, visible, lon_arr, lat_arr)."""
+    eid = F.col("event_id")
+    base = ev.select(
+        (eid % way_mod).alias("way_id"),
+        eid.alias("event_id"),
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("ts"),
+        ((eid % 7) != 0).alias("visible"),
+    )
+    w = Window.partitionBy("way_id").orderBy("ts", "event_id")
+    v = base.withColumn("version", F.row_number().over(w)).withColumn(
+        "valid_to", F.lead("ts").over(w)
+    )
+    base_lon = (F.col("way_id") * LON_A % LON_SPAN - LON_OFF).cast("long")
+    base_lat = (F.col("way_id") * LAT_A % LAT_SPAN - LAT_OFF).cast("long")
+    delta = (F.lit(DELTA_BASE) + (F.col("version") % 50) * DELTA_STEP).cast("long")
+    wiggle = ((F.col("version") % 7) * WIGGLE).cast("long")
+    idx = F.sequence(F.lit(0), F.lit(N_PTS - 1))
+    return v.select(
+        "way_id",
+        "version",
+        "ts",
+        "valid_to",
+        "visible",
+        F.transform(idx, lambda j: base_lon + j.cast("long") * delta).alias("lon_arr"),
+        F.transform(
+            idx, lambda j: base_lat + j.cast("long") * j.cast("long") * LAT_CURVE + wiggle
+        ).alias("lat_arr"),
+    )
+
+
+def ways_sql(way_mod: int = WAY_MOD) -> str:
+    """DuckDB CTE body producing the same way-version rows with the
+    vertex formulas inlined (the oracle never builds arrays — it
+    expands the geometry terms symbolically)."""
+    return f"""
+    SELECT event_id % {way_mod} AS way_id,
+           row_number() OVER win AS version,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+           lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER win AS valid_to,
+           (event_id % 7) <> 0 AS visible,
+           (event_id % {way_mod}) * {LON_A} % {LON_SPAN} - {LON_OFF} AS base_lon,
+           (event_id % {way_mod}) * {LAT_A} % {LAT_SPAN} - {LAT_OFF} AS base_lat,
+           {DELTA_BASE} + (row_number() OVER win % 50) * {DELTA_STEP} AS delta,
+           (row_number() OVER win % 7) * {WIGGLE} AS wiggle
+    FROM events
+    WINDOW win AS (PARTITION BY event_id % {way_mod}
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+    """
+
+
+def lon_sql(j: int) -> str:
+    return f"(base_lon + {j} * delta)"
+
+
+def lat_sql(j: int) -> str:
+    return f"(base_lat + {j * j} * {LAT_CURVE} + wiggle)"
+
+
+# ---------------------------------------------------------------------------
+# interleaved-doc round trip: line: span encoding (FIXTURES.md §1)
+# ---------------------------------------------------------------------------
+
+def ways_to_docs(ways: DataFrame) -> DataFrame:
+    """One doc per way; each version contributes a meta span and a
+    ``line:`` geom span. Pure Column/HOF encode."""
+    coord_txt = F.concat(
+        F.lit("line:"),
+        F.array_join(
+            F.zip_with(
+                F.col("lon_arr"),
+                F.col("lat_arr"),
+                lambda lo, la: F.concat_ws(",", lo.cast("string"), la.cast("string")),
+            ),
+            ";",
+        ),
+    )
+    v = F.struct(
+        F.col("version"),
+        F.col("ts"),
+        F.col("visible"),
+        coord_txt.alias("geom_txt"),
+    )
+    per_way = ways.groupBy("way_id").agg(F.array_sort(F.collect_list(v)).alias("vs"))
+
+    def spans_of(x):
+        meta = F.struct(
+            F.lit("meta").alias("kind"),
+            F.format_string(
+                "v=%d;ts=%d;cs=0;uid=0;vis=%d;type=way",
+                x["version"],
+                x["ts"],
+                x["visible"].cast("int"),
+            ).alias("text"),
+            F.lit("").alias("media_ref"),
+        )
+        geom = F.struct(
+            F.lit("geom").alias("kind"),
+            x["geom_txt"].alias("text"),
+            F.lit("").alias("media_ref"),
+        )
+        return F.array(meta, geom)
+
+    flat = F.flatten(F.transform(F.col("vs"), spans_of))
+    with_offsets = F.transform(
+        flat,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return per_way.select(
+        F.concat(F.lit("w"), F.col("way_id").cast("string")).alias("doc_id"),
+        with_offsets.alias("spans"),
+    )
+
+
+def docs_to_ways(docs: DataFrame) -> DataFrame:
+    """Decode ``line:`` docs back to way versions — explode + window +
+    conditional aggregation, zero Python (same plan shape as
+    ``docs.docs_to_versions``)."""
+    s = docs.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.offset").alias("offset"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    s = s.withColumn("vidx", F.sum((F.col("kind") == "meta").cast("int")).over(w))
+
+    meta_re = r"v=(-?\d+);ts=(-?\d+);cs=(-?\d+);uid=(-?\d+);vis=([01]);type=(\w+)"
+    coords = F.split(F.regexp_replace(F.col("text"), r"^line:", ""), ";")
+    lon_arr = F.transform(
+        coords, lambda p: F.split(p, ",").getItem(0).cast("long")
+    )
+    lat_arr = F.transform(
+        coords, lambda p: F.split(p, ",").getItem(1).cast("long")
+    )
+
+    out = s.groupBy("doc_id", "vidx").agg(
+        F.max(
+            F.when(
+                F.col("kind") == "meta",
+                F.regexp_extract(F.col("text"), meta_re, 1).cast("int"),
+            )
+        ).alias("version"),
+        F.max(
+            F.when(
+                F.col("kind") == "meta",
+                F.regexp_extract(F.col("text"), meta_re, 2).cast("long"),
+            )
+        ).alias("ts"),
+        (
+            F.max(
+                F.when(
+                    F.col("kind") == "meta",
+                    F.regexp_extract(F.col("text"), meta_re, 5).cast("int"),
+                )
+            )
+            == 1
+        ).alias("visible"),
+        F.max(F.when(F.col("kind") == "geom", lon_arr)).alias("lon_arr"),
+        F.max(F.when(F.col("kind") == "geom", lat_arr)).alias("lat_arr"),
+    )
+    w2 = Window.partitionBy("way_id").orderBy("version")
+    return out.select(
+        F.substring(F.col("doc_id"), 2, 100).cast("long").alias("way_id"),
+        "version",
+        "ts",
+        "visible",
+        "lon_arr",
+        "lat_arr",
+    ).withColumn("valid_to", F.lead("ts").over(w2))
