@@ -22,6 +22,16 @@ def token_count_col(text: Column) -> Column:
     )
 
 
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """BPE-pre-tokenizer-style token count: letter runs, single digits,
+    and punctuation marks each count as one token (the GPT-2-ish
+    pre-split shape). Pure regexp — SQL-replicable."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
 def quality_cols(text: Column) -> dict[str, Column]:
     """Quality-scoring signals: length, punctuation density, mean word
     length. Composable into filter thresholds (e.g. Gopher-style rules)."""

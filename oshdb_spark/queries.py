@@ -522,21 +522,27 @@ _TOKENS_SQL = (
 
 
 def q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from oshdb_spark.operators.text import token_count_col
+    from oshdb_spark.operators.text import bpe_token_count_col, token_count_col
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    d = docs.withColumn("n_tokens", token_count_col(F.col("text")))
+    d = docs.withColumn("n_tokens", token_count_col(F.col("text"))).withColumn(
+        "n_bpe", bpe_token_count_col(F.col("text"))
+    )
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("n_bpe").alias("sum_bpe_tokens"),
         F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
     )
 
 
 def o_token_stats_by_source() -> str:
+    from oshdb_spark.operators.text import BPE_TOKEN_RE
+
     return f"""
     SELECT source, count(*) AS n_docs,
            sum({_TOKENS_SQL}) AS sum_tokens,
+           sum(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))) AS sum_bpe_tokens,
            round(avg(length(text)), 6) AS avg_chars
     FROM documents GROUP BY 1
     """
