@@ -51,3 +51,98 @@ def vector_tiles(df: DataFrame, zoom: int, feature_col: str = "entity_id") -> Da
         F.array_sort(F.collect_list(feature_col)).alias("features"),
         F.count(F.lit(1)).alias("n_features"),
     )
+
+
+def way_vector_tiles(ways: DataFrame, zoom: int) -> DataFrame:
+    """Line-feature vector tiles: each way polyline is split into
+    segments, fanned out to the tiles its endpoints span, CLIPPED to
+    each tile's rectangle (vectorized Liang–Barsky), and aggregated to
+    (tile, n_ways, total clipped length) — the real vector-tile
+    materialization step (features cut at tile borders; the reference
+    clips via JTS intersection, ``Geo.java:185-191``).
+
+    ``ways`` needs (way_id, lon_arr, lat_arr); coordinates must be
+    strictly inside the world range (no antimeridian wrap — holds for
+    the ways fixtures by construction). Tile bounds are exact in double
+    because tx * WORLD_LON < 2^45 and the divisor is a power of two.
+    """
+    from oshdb_spark.functions.geo import EARTH_RADIUS
+    from oshdb_spark.grid import LAT_MAX, LON_MAX, WORLD_LON
+    from oshdb_spark.operators.spatial import np_clip_segments
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n = 1 << zoom
+    W = float(WORLD_LON)
+
+    segs = ways.select(
+        "way_id",
+        F.explode(F.sequence(F.lit(0), F.size("lon_arr") - 2)).alias("j"),
+        "lon_arr",
+        "lat_arr",
+    ).select(
+        "way_id",
+        F.element_at("lon_arr", F.col("j") + 1).alias("x1"),
+        F.element_at("lat_arr", F.col("j") + 1).alias("y1"),
+        F.element_at("lon_arr", F.col("j") + 2).alias("x2"),
+        F.element_at("lat_arr", F.col("j") + 2).alias("y2"),
+    )
+
+    def tx(c):
+        return F.floor(((c + F.lit(LON_MAX)) * n) / F.lit(W)).cast("long")
+
+    def ty(c):
+        return F.floor(((c + F.lit(LAT_MAX)) * n) / F.lit(W)).cast("long")
+
+    segs = (
+        segs.withColumn("min_tx", F.least(tx(F.col("x1")), tx(F.col("x2"))))
+        .withColumn("max_tx", F.greatest(tx(F.col("x1")), tx(F.col("x2"))))
+        .withColumn("min_ty", F.least(ty(F.col("y1")), ty(F.col("y2"))))
+        .withColumn("max_ty", F.greatest(ty(F.col("y1")), ty(F.col("y2"))))
+    )
+    fanned = segs.select(
+        "*",
+        F.explode(F.sequence(F.col("min_tx"), F.col("max_tx"))).alias("tile_x"),
+    ).select(
+        "*",
+        F.explode(F.sequence(F.col("min_ty"), F.col("max_ty"))).alias("tile_y"),
+    )
+    rx0 = F.floor((F.col("tile_x") * W) / n) - F.lit(LON_MAX)
+    rx1 = F.floor(((F.col("tile_x") + 1) * W) / n) - F.lit(LON_MAX)
+    ry0 = F.floor((F.col("tile_y") * W) / n) - F.lit(LAT_MAX)
+    ry1 = F.floor(((F.col("tile_y") + 1) * W) / n) - F.lit(LAT_MAX)
+
+    def _cliplen_fn(x1, y1, x2, y2, a, b, c, d):
+        cx1, cy1, cx2, cy2, valid = np_clip_segments(
+            x1.to_numpy(), y1.to_numpy(), x2.to_numpy(), y2.to_numpy(),
+            a.to_numpy(), b.to_numpy(), c.to_numpy(), d.to_numpy(),
+        )
+        dlng = np.radians((cx2 - cx1) * 1e-7) * np.cos(
+            np.radians(((cy1 + cy2) * 1e-7) / 2.0)
+        )
+        dlat = np.radians((cy2 - cy1) * 1e-7)
+        out = EARTH_RADIUS * np.sqrt(dlng * dlng + dlat * dlat)
+        return pd.Series(np.where(valid, out, 0.0))
+
+    cliplen = pandas_udf(_cliplen_fn, "double")
+    clipped = fanned.select(
+        "way_id",
+        "tile_x",
+        "tile_y",
+        cliplen(
+            F.col("x1").cast("double"), F.col("y1").cast("double"),
+            F.col("x2").cast("double"), F.col("y2").cast("double"),
+            rx0.cast("double"), ry0.cast("double"),
+            rx1.cast("double"), ry1.cast("double"),
+        ).alias("len_m"),
+    )
+    return (
+        clipped.groupBy("tile_x", "tile_y")
+        .agg(
+            F.count_distinct("way_id").alias("n_ways"),
+            F.round(F.sum("len_m") / 1000.0, 2).alias("len_km"),
+        )
+        .withColumn("zoom", F.lit(zoom))
+    )

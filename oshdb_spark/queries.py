@@ -1345,6 +1345,152 @@ def o_way_poly_area() -> str:
     """
 
 
+def q_way_contrib_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution view over way geometries: lag over the coordinate
+    ARRAYS classifies GEOMETRY_CHANGE when any vertex moved (the
+    child-node-induced way modification of the reference,
+    OSHEntities.java:315-393, pre-materialized per version)."""
+    from oshdb_spark.sources.ways import derive_ways
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ways = derive_ways(ev)
+    w = Window.partitionBy("way_id").orderBy("version")
+    lagged = (
+        ways.withColumn("prev_visible", F.lag("visible").over(w))
+        .withColumn("prev_lon_arr", F.lag("lon_arr").over(w))
+        .withColumn("prev_lat_arr", F.lag("lat_arr").over(w))
+    )
+    curr = F.col("visible")
+    prev = F.coalesce(F.col("prev_visible"), F.lit(False))
+    geom_changed = (F.col("lon_arr") != F.col("prev_lon_arr")) | (
+        F.col("lat_arr") != F.col("prev_lat_arr")
+    )
+    ctype = (
+        F.when(curr & ~prev, F.lit("CREATION"))
+        .when(~curr & prev, F.lit("DELETION"))
+        .when(curr & prev & geom_changed, F.lit("GEOMETRY_CHANGE"))
+        .when(curr & prev, F.lit("OTHER"))
+    )
+    return (
+        lagged.withColumn("contrib_type", ctype)
+        .filter(F.col("contrib_type").isNotNull())
+        .groupBy("contrib_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def o_way_contrib_counts() -> str:
+    from oshdb_spark.sources.ways import ways_sql
+
+    # geometry is a pure function of (way_id, delta, wiggle): vertices
+    # changed iff delta or wiggle changed between consecutive versions
+    return f"""WITH wy AS ({ways_sql()}),
+    l AS (
+      SELECT *,
+        lag(visible) OVER win AS prev_visible,
+        lag(delta)   OVER win AS prev_delta,
+        lag(wiggle)  OVER win AS prev_wiggle
+      FROM wy
+      WINDOW win AS (PARTITION BY way_id ORDER BY version)
+    )
+    SELECT contrib_type, count(*) AS cnt FROM (
+      SELECT CASE
+        WHEN visible AND NOT coalesce(prev_visible, FALSE) THEN 'CREATION'
+        WHEN NOT visible AND coalesce(prev_visible, FALSE) THEN 'DELETION'
+        WHEN visible AND coalesce(prev_visible, FALSE)
+             AND (delta <> prev_delta OR wiggle <> prev_wiggle) THEN 'GEOMETRY_CHANGE'
+        WHEN visible AND coalesce(prev_visible, FALSE) THEN 'OTHER'
+        ELSE NULL END AS contrib_type
+      FROM l
+    ) WHERE contrib_type IS NOT NULL
+    GROUP BY 1
+    """
+
+
+WAY_TILE_ZOOM = 5
+
+
+def q_way_vector_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector tiles with REAL border clipping: way polylines as-of
+    TILE_TS, segments fanned to candidate tiles and Liang–Barsky-cut at
+    tile rectangles; per-tile feature count + clipped length."""
+    from oshdb_spark.operators.tiles import way_vector_tiles
+
+    w = _ways_asof(spark, sf_dir)
+    return way_vector_tiles(w, WAY_TILE_ZOOM).select(
+        "zoom", "tile_x", "tile_y", "n_ways", "len_km"
+    )
+
+
+def o_way_vector_tiles() -> str:
+    from oshdb_spark.sources.ways import lat_sql, lon_sql
+
+    n = 1 << WAY_TILE_ZOOM
+    W = 3_600_000_000
+    seg_union = " UNION ALL ".join(
+        f"SELECT way_id, CAST({lon_sql(j)} AS DOUBLE) AS x1, CAST({lat_sql(j)} AS DOUBLE) AS y1, "
+        f"CAST({lon_sql(j + 1)} AS DOUBLE) AS x2, CAST({lat_sql(j + 1)} AS DOUBLE) AS y2 FROM ao"
+        for j in range(4)
+    )
+
+    def txe(c):
+        return f"CAST(floor((({c} + {LON_MAX}) * {n}) / {W}.0) AS BIGINT)"
+
+    def tye(c):
+        return f"CAST(floor((({c} + {LAT_MAX}) * {n}) / {W}.0) AS BIGINT)"
+
+    # clip params vs the tile rect (same parametric bounds as the kernel)
+    t0 = (
+        "greatest(0, CASE WHEN dx > 0 THEN (rx0 - x1) / dx WHEN dx < 0 THEN (rx1 - x1) / dx ELSE 0 END, "
+        "CASE WHEN dy > 0 THEN (ry0 - y1) / dy WHEN dy < 0 THEN (ry1 - y1) / dy ELSE 0 END)"
+    )
+    t1 = (
+        "least(1, CASE WHEN dx > 0 THEN (rx1 - x1) / dx WHEN dx < 0 THEN (rx0 - x1) / dx ELSE 1 END, "
+        "CASE WHEN dy > 0 THEN (ry1 - y1) / dy WHEN dy < 0 THEN (ry0 - y1) / dy ELSE 1 END)"
+    )
+    rej = (
+        "(dx = 0 AND (x1 < rx0 OR x1 > rx1)) OR (dy = 0 AND (y1 < ry0 OR y1 > ry1))"
+    )
+    return f"""{_ways_oracle_asof_cte()},
+    segs AS (
+      SELECT *, x2 - x1 AS dx, y2 - y1 AS dy,
+             least({txe('x1')}, {txe('x2')}) AS min_tx,
+             greatest({txe('x1')}, {txe('x2')}) AS max_tx,
+             least({tye('y1')}, {tye('y2')}) AS min_ty,
+             greatest({tye('y1')}, {tye('y2')}) AS max_ty
+      FROM ({seg_union})
+    ),
+    fanned AS (
+      SELECT s.*, t.tile_x, u.tile_y,
+             floor((t.tile_x * {W}.0) / {n}) - {LON_MAX} AS rx0,
+             floor(((t.tile_x + 1) * {W}.0) / {n}) - {LON_MAX} AS rx1,
+             floor((u.tile_y * {W}.0) / {n}) - {LAT_MAX} AS ry0,
+             floor(((u.tile_y + 1) * {W}.0) / {n}) - {LAT_MAX} AS ry1
+      FROM segs s,
+           LATERAL (SELECT unnest(generate_series(s.min_tx, s.max_tx)) AS tile_x) t,
+           LATERAL (SELECT unnest(generate_series(s.min_ty, s.max_ty)) AS tile_y) u
+    ),
+    clipped AS (
+      SELECT way_id, tile_x, tile_y,
+        CASE WHEN NOT ({rej}) AND {t0} <= {t1} THEN
+          6371000.0 * sqrt(
+            (radians(((x1 + {t1} * dx) - (x1 + {t0} * dx)) * 1e-7)
+             * cos(radians((((y1 + {t0} * dy) + (y1 + {t1} * dy)) * 1e-7) / 2.0)))
+          * (radians(((x1 + {t1} * dx) - (x1 + {t0} * dx)) * 1e-7)
+             * cos(radians((((y1 + {t0} * dy) + (y1 + {t1} * dy)) * 1e-7) / 2.0)))
+          + radians(((y1 + {t1} * dy) - (y1 + {t0} * dy)) * 1e-7)
+            * radians(((y1 + {t1} * dy) - (y1 + {t0} * dy)) * 1e-7)
+          )
+        ELSE 0.0 END AS len_m
+      FROM fanned
+    )
+    SELECT {WAY_TILE_ZOOM} AS zoom, tile_x, tile_y,
+           count(DISTINCT way_id) AS n_ways,
+           round(sum(len_m) / 1000.0, 2) AS len_km
+    FROM clipped GROUP BY 2, 3
+    """
+
+
 SALT_ZOOM = 4
 SALT_FACTOR = 16
 
@@ -1440,6 +1586,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "insert_level_hist": q_insert_level_hist,
     "way_length_at_ts": q_way_length_at_ts,
     "way_poly_area": q_way_poly_area,
+    "way_contrib_counts": q_way_contrib_counts,
+    "way_vector_tiles": q_way_vector_tiles,
     # rows-only checks (non-SQL-expressible: custom LSH / IVF kernels)
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
@@ -1480,4 +1628,6 @@ ORACLES: dict[str, str] = {
     "insert_level_hist": o_insert_level_hist(),
     "way_length_at_ts": o_way_length_at_ts(),
     "way_poly_area": o_way_poly_area(),
+    "way_contrib_counts": o_way_contrib_counts(),
+    "way_vector_tiles": o_way_vector_tiles(),
 }
