@@ -1407,6 +1407,37 @@ def o_way_contrib_counts() -> str:
     """
 
 
+def q_type_counts_at_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """osmType filter / union-all of per-type tables (the reference
+    scans grid_node + grid_way + grid_relation and unions them,
+    MapReducerJdbc.java:53-59; osmType() selects which,
+    MapReducer.java:403-412): node-entity and way-entity snapshots
+    unioned with a type tag and counted per type."""
+    v = load_versions(spark, sf_dir)
+    t = snapshot_timestamps(spark, [TILE_TS])
+    nodes = snapshots(v, t).select(F.lit("node").alias("osm_type"))
+    ways = _ways_asof(spark, sf_dir).select(F.lit("way").alias("osm_type"))
+    return nodes.unionByName(ways).groupBy("osm_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def o_type_counts_at_ts() -> str:
+    from oshdb_spark.sources.ways import ways_sql
+
+    return f"""{_validity_cte()},
+    wy AS ({ways_sql()}),
+    u AS (
+      SELECT 'node' AS osm_type FROM w
+      WHERE w.visible AND {TILE_TS} >= w.ts AND (w.valid_to IS NULL OR {TILE_TS} < w.valid_to)
+      UNION ALL
+      SELECT 'way' AS osm_type FROM wy
+      WHERE visible AND {TILE_TS} >= ts AND (valid_to IS NULL OR {TILE_TS} < valid_to)
+    )
+    SELECT osm_type, count(*) AS cnt FROM u GROUP BY 1
+    """
+
+
 WAY_TILE_ZOOM = 5
 
 
@@ -1588,6 +1619,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "way_poly_area": q_way_poly_area,
     "way_contrib_counts": q_way_contrib_counts,
     "way_vector_tiles": q_way_vector_tiles,
+    "type_counts_at_ts": q_type_counts_at_ts,
     # rows-only checks (non-SQL-expressible: custom LSH / IVF kernels)
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
@@ -1630,4 +1662,5 @@ ORACLES: dict[str, str] = {
     "way_poly_area": o_way_poly_area(),
     "way_contrib_counts": o_way_contrib_counts(),
     "way_vector_tiles": o_way_vector_tiles(),
+    "type_counts_at_ts": o_type_counts_at_ts(),
 }
