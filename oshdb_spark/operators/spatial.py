@@ -190,12 +190,15 @@ def np_clip_segments(
     ):
         zero = p == 0
         reject |= zero & (q < 0)
-        with np.errstate(divide="ignore", invalid="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             r = np.where(zero, 0.0, q / np.where(zero, 1.0, p))
         t0 = np.where(~zero & (p < 0), np.maximum(t0, r), t0)
         t1 = np.where(~zero & (p > 0), np.minimum(t1, r), t1)
     valid = ~reject & (t0 <= t1)
-    return x1 + t0 * dx, y1 + t0 * dy, x1 + t1 * dx, y1 + t1 * dy, valid
+    # rejected rows may carry inf parameters; their coords are unused
+    # (masked by valid) but would warn without the errstate guard
+    with np.errstate(invalid="ignore", over="ignore"):
+        return x1 + t0 * dx, y1 + t0 * dy, x1 + t1 * dx, y1 + t1 * dy, valid
 
 
 # ---------------------------------------------------------------------------

@@ -1407,6 +1407,39 @@ def o_way_contrib_counts() -> str:
     """
 
 
+TUMBLE_SEC = 6 * 3600
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows over the raw events stream table
+    (the aggregateByTimestamp regular-interval analog as F.window, the
+    same shape Structured Streaming uses): per (6h window, event_type)
+    count + value sum."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    win = F.window(F.col("ts").cast("timestamp"), f"{TUMBLE_SEC} seconds")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def o_events_tumbling() -> str:
+    return f"""
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // {TUMBLE_SEC}) * {TUMBLE_SEC} AS win_start,
+           event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """
+
+
 def q_type_counts_at_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """osmType filter / union-all of per-type tables (the reference
     scans grid_node + grid_way + grid_relation and unions them,
@@ -1620,6 +1653,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "way_contrib_counts": q_way_contrib_counts,
     "way_vector_tiles": q_way_vector_tiles,
     "type_counts_at_ts": q_type_counts_at_ts,
+    "events_tumbling": q_events_tumbling,
     # rows-only checks (non-SQL-expressible: custom LSH / IVF kernels)
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
@@ -1663,4 +1697,5 @@ ORACLES: dict[str, str] = {
     "way_contrib_counts": o_way_contrib_counts(),
     "way_vector_tiles": o_way_vector_tiles(),
     "type_counts_at_ts": o_type_counts_at_ts(),
+    "events_tumbling": o_events_tumbling(),
 }

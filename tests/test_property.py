@@ -1,0 +1,154 @@
+"""Property-based tests (hypothesis) for the pure kernels: grid math,
+clipping, PIP — the invariants the reference's unit suites check by
+enumeration (XYGridTest.java:37-190, fip/*Test), generalized to random
+inputs. No SparkSession needed; these cover the same code the Column
+expressions and pandas UDFs call."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from oshdb_spark import grid
+from oshdb_spark.operators.spatial import (
+    clip_ring_convex,
+    clip_segment_bbox,
+    np_clip_segments,
+    pip_mask,
+)
+
+lons = st.integers(min_value=-grid.LON_MAX, max_value=grid.LON_MAX)
+lats = st.integers(min_value=-grid.LAT_MAX, max_value=grid.LAT_MAX)
+zooms = st.integers(min_value=0, max_value=grid.MAXZOOM)
+
+
+@given(zooms, lons, lats)
+@settings(max_examples=300, deadline=None)
+def test_cell_bounds_contain_point(zoom, lon, lat):
+    cid = grid.cell_id(zoom, lon, lat)
+    assert cid >= 0
+    lo, la, hi, ha = grid.cell_bounds(zoom, cid)
+    # border-to-NE: +180 wraps to the west column, pole clamps south —
+    # those two points land in a cell that does not cover them literally
+    if lon == grid.LON_MAX or lat == grid.LAT_MAX:
+        return
+    assert lo <= lon <= hi and la <= lat <= ha
+
+
+@given(zooms, lons, lats)
+@settings(max_examples=200, deadline=None)
+def test_np_cell_id_matches_scalar(zoom, lon, lat):
+    got = grid.np_cell_id(zoom, np.array([lon]), np.array([lat]))[0]
+    assert got == grid.cell_id(zoom, lon, lat)
+
+
+@given(zooms, lons, lats)
+@settings(max_examples=200, deadline=None)
+def test_point_cell_inside_bbox_cover(zoom, lon, lat):
+    """Any point's cell must be inside the cover of any bbox containing
+    the point (cover completeness, the partition-pruning soundness
+    property)."""
+    pad_lon = min(10_000_000, grid.LON_MAX - abs(lon))
+    pad_lat = min(10_000_000, grid.LAT_MAX - abs(lat))
+    bbox = (lon - pad_lon, lat - pad_lat, lon + pad_lon, lat + pad_lat)
+    cid = grid.cell_id(zoom, lon, lat)
+    ranges = grid.bbox_cell_ranges(zoom, bbox, enlarge=False)
+    assert any(s <= cid <= e for s, e in ranges if s != grid.INVALID_CELL)
+
+
+@given(zooms.filter(lambda z: z >= 1), lons, lats)
+@settings(max_examples=100, deadline=None)
+def test_morton_parent_is_coarser_cell(zoom, lon, lat):
+    x, y = grid.xy(zoom, lon, lat)
+    key = grid.morton_key(zoom, x, y)
+    pz, = [(key >> 56) & 0xFF]
+    parent = grid.morton_parent(key)
+    px, py = grid.xy(zoom - 1, lon, lat)
+    # parent key equals the morton key of the zoom-1 cell — except for
+    # the border/pole-clamped coordinates whose (x, y) is rule-adjusted
+    if lon == grid.LON_MAX or lat == grid.LAT_MAX:
+        return
+    assert parent == grid.morton_key(zoom - 1, px, py)
+    assert pz == zoom
+
+
+coords = st.floats(
+    min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+)
+
+
+@given(coords, coords, coords, coords, coords, coords)
+@settings(max_examples=300, deadline=None)
+def test_clip_segment_stays_in_rect_and_on_segment(x1, y1, x2, y2, cx, cy):
+    rect = (cx - 5e8, cy - 5e8, cx + 5e8, cy + 5e8)
+    out = clip_segment_bbox(x1, y1, x2, y2, rect)
+    if out is None:
+        return
+    ax, ay, bx, by = out
+    eps = 1e-6 * max(1.0, abs(ax), abs(bx), abs(ay), abs(by))
+    assert rect[0] - eps <= ax <= rect[2] + eps
+    assert rect[0] - eps <= bx <= rect[2] + eps
+    assert rect[1] - eps <= ay <= rect[3] + eps
+    assert rect[1] - eps <= by <= rect[3] + eps
+    # clipped length never exceeds the original
+    orig = np.hypot(x2 - x1, y2 - y1)
+    assert np.hypot(bx - ax, by - ay) <= orig + 1e-6 * max(1.0, orig)
+
+
+@given(coords, coords, coords, coords, coords, coords)
+@settings(max_examples=300, deadline=None)
+def test_vectorized_clip_matches_scalar(x1, y1, x2, y2, cx, cy):
+    rect = (cx - 5e8, cy - 5e8, cx + 5e8, cy + 5e8)
+    scalar = clip_segment_bbox(x1, y1, x2, y2, rect)
+    ax, ay, bx, by, valid = np_clip_segments(
+        np.array([x1]), np.array([y1]), np.array([x2]), np.array([y2]),
+        np.array([rect[0]]), np.array([rect[1]]),
+        np.array([rect[2]]), np.array([rect[3]]),
+    )
+    if scalar is None:
+        assert not valid[0]
+    else:
+        assert valid[0]
+        np.testing.assert_allclose(
+            [ax[0], ay[0], bx[0], by[0]], list(scalar), rtol=1e-12, atol=1e-6
+        )
+
+
+@given(
+    st.integers(min_value=3, max_value=9),
+    st.floats(min_value=1e6, max_value=5e8, allow_nan=False),
+    coords,
+    coords,
+    coords,
+    coords,
+)
+@settings(max_examples=200, deadline=None)
+def test_pip_on_regular_polygon_matches_radius_test(n_verts, radius, cx, cy, px, py):
+    """For a regular polygon, PIP must agree with the apothem/circum
+    radius bounds: strictly inside the inscribed circle => inside;
+    outside the circumscribed circle => outside."""
+    ang = np.linspace(0.0, 2 * np.pi, n_verts, endpoint=False)
+    poly_x = cx + radius * np.cos(ang)
+    poly_y = cy + radius * np.sin(ang)
+    inside = pip_mask(np.array([px]), np.array([py]), poly_x, poly_y)[0]
+    d = np.hypot(px - cx, py - cy)
+    apothem = radius * np.cos(np.pi / n_verts)
+    if d < apothem * (1 - 1e-9):
+        assert inside
+    elif d > radius * (1 + 1e-9):
+        assert not inside
+
+
+@given(coords, coords, st.floats(min_value=1e6, max_value=4e8, allow_nan=False))
+@settings(max_examples=100, deadline=None)
+def test_ring_clip_of_contained_square_is_identity(cx, cy, half):
+    """A square fully inside the clip window survives unchanged."""
+    sq_x = np.array([cx - half, cx + half, cx + half, cx - half])
+    sq_y = np.array([cy - half, cy - half, cy + half, cy + half])
+    win_x = np.array([cx - 3 * half, cx + 3 * half, cx + 3 * half, cx - 3 * half])
+    win_y = np.array([cy - 3 * half, cy - 3 * half, cy + 3 * half, cy + 3 * half])
+    ox, oy = clip_ring_convex(sq_x, sq_y, win_x, win_y)
+    assert len(ox) == 4
+    np.testing.assert_allclose(sorted(ox), sorted(sq_x), rtol=1e-12)
+    np.testing.assert_allclose(sorted(oy), sorted(sq_y), rtol=1e-12)
