@@ -1615,6 +1615,105 @@ def o_media_meta_by_type() -> str:
 
 
 # ---------------------------------------------------------------------------
+# general analytics over the star schema (the engine is a full query
+# engine, not only the geo surface: TPC-H-shaped plans with broadcast
+# dimension joins, exactly what the keytable path generalizes to)
+# ---------------------------------------------------------------------------
+
+PRICING_CUTOFF = "1998-09-02"
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single-scan multi-aggregate with pushed-down
+    date predicate (all whole-stage codegen)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    f = li.filter(F.col("l_shipdate") <= F.lit(PRICING_CUTOFF).cast("date"))
+    return f.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def o_pricing_summary() -> str:
+    return f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '{PRICING_CUTOFF}'
+    GROUP BY 1, 2
+    """
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension chain with broadcast dims (orders -> customer
+    -> nation): revenue per nation — the keytable join pattern at star
+    scale; at 100 TB the fact side streams, dims broadcast."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    j = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    return j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def o_revenue_by_nation() -> str:
+    return """
+    SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+    """
+
+
+def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by revenue per market segment: fact join + window
+    top-k (WindowGroupLimit pushes the rank bound into the sort)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "c_mktsegment",
+            "rank",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+def o_top_orders_per_segment() -> str:
+    return """
+    SELECT c_mktsegment, CAST(rank AS INT) AS rank, o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rank <= 3
+    """
+
+
+# ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
 
@@ -1654,6 +1753,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "way_vector_tiles": q_way_vector_tiles,
     "type_counts_at_ts": q_type_counts_at_ts,
     "events_tumbling": q_events_tumbling,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_orders_per_segment": q_top_orders_per_segment,
     # rows-only checks (non-SQL-expressible: custom LSH / IVF kernels)
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
@@ -1698,4 +1800,7 @@ ORACLES: dict[str, str] = {
     "way_vector_tiles": o_way_vector_tiles(),
     "type_counts_at_ts": o_type_counts_at_ts(),
     "events_tumbling": o_events_tumbling(),
+    "pricing_summary": o_pricing_summary(),
+    "revenue_by_nation": o_revenue_by_nation(),
+    "top_orders_per_segment": o_top_orders_per_segment(),
 }
