@@ -48,7 +48,13 @@ def test_np_cell_id_matches_scalar(zoom, lon, lat):
 def test_point_cell_inside_bbox_cover(zoom, lon, lat):
     """Any point's cell must be inside the cover of any bbox containing
     the point (cover completeness, the partition-pruning soundness
-    property)."""
+    property). Points exactly at +180 deg wrap to the -180 column
+    (XYGrid.java:131-134) and are excluded: a bbox ending at +180 is
+    clamped east and legitimately does not cover the wrapped cell —
+    querying across the antimeridian requires the split-bbox form,
+    exactly as in the reference."""
+    if lon == grid.LON_MAX or lat == grid.LAT_MAX:
+        return
     pad_lon = min(10_000_000, grid.LON_MAX - abs(lon))
     pad_lat = min(10_000_000, grid.LAT_MAX - abs(lat))
     bbox = (lon - pad_lon, lat - pad_lat, lon + pad_lon, lat + pad_lat)
