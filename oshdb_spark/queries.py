@@ -1614,6 +1614,38 @@ def o_media_meta_by_type() -> str:
     """
 
 
+def q_rollup_ts_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP over (snap_ts, tag_v): the
+    OSHDBCombinedIndex nesting (OSHDBCombinedIndex.java:9-69) plus the
+    client-side nest()/totals reshape, expressed as native grouping
+    sets — per-ts subtotals and the grand total come out of one pass."""
+    v = load_versions(spark, sf_dir)
+    t = snapshot_timestamps(spark, SNAPSHOT_TS)
+    snap = snapshots(v, t)
+    return (
+        snap.rollup("snap_ts", "tag_v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce(F.col("snap_ts"), F.lit(-1)).alias("snap_ts"),
+            F.coalesce(F.col("tag_v"), F.lit(-1)).alias("tag_v"),
+            "cnt",
+        )
+    )
+
+
+def o_rollup_ts_type() -> str:
+    return f"""{_validity_cte()},
+    s AS (
+      SELECT t.snap_ts AS sts, w.tag_v AS tv
+      FROM w, {snapshot_ts_values_sql()}
+      WHERE w.visible
+        AND t.snap_ts >= w.ts AND (w.valid_to IS NULL OR t.snap_ts < w.valid_to)
+    )
+    SELECT coalesce(sts, -1) AS snap_ts, coalesce(tv, -1) AS tag_v, count(*) AS cnt
+    FROM s GROUP BY ROLLUP (sts, tv)
+    """
+
+
 # ---------------------------------------------------------------------------
 # general analytics over the star schema (the engine is a full query
 # engine, not only the geo surface: TPC-H-shaped plans with broadcast
@@ -1753,6 +1785,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "way_vector_tiles": q_way_vector_tiles,
     "type_counts_at_ts": q_type_counts_at_ts,
     "events_tumbling": q_events_tumbling,
+    "rollup_ts_type": q_rollup_ts_type,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_segment": q_top_orders_per_segment,
@@ -1800,6 +1833,7 @@ ORACLES: dict[str, str] = {
     "way_vector_tiles": o_way_vector_tiles(),
     "type_counts_at_ts": o_type_counts_at_ts(),
     "events_tumbling": o_events_tumbling(),
+    "rollup_ts_type": o_rollup_ts_type(),
     "pricing_summary": o_pricing_summary(),
     "revenue_by_nation": o_revenue_by_nation(),
     "top_orders_per_segment": o_top_orders_per_segment(),
