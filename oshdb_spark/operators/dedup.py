@@ -266,6 +266,52 @@ def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation connected components over the near-dup
+    pair graph — the step that turns pairwise matches into dedup
+    clusters (keep min-id doc per cluster). ``nodes``: (id); ``edges``:
+    (id_a, id_b). Returns (id, cluster_id = min id of the component).
+
+    Iterative DataFrame joins (the standard large-scale CC shape, cf.
+    GraphFrames/Pregel): each round every node takes the min of its own
+    and its neighbours' labels; rounds needed = graph diameter, each
+    round is one shuffle join + aggregation. ``localCheckpoint`` cuts
+    the lineage so plans stay flat across iterations.
+    """
+    sym = edges.selectExpr("id_a AS src", "id_b AS dst").unionByName(
+        edges.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    labels = nodes.select(F.col("id"), F.col("id").alias("lab"))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("lab").alias("nbr_lab"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("nbr_lab"), F.col("lab"))
+                ).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("lab").alias("cluster_id"))
+
+
 SIMHASH_BANDS = 4  # 4 x 16-bit bands: complete for hamming <= 3
 
 

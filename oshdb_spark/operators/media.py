@@ -86,3 +86,76 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "media_ref string, media_type string, width int, height int, "
+    "out_w int, out_h int, payload binary"
+)
+
+
+def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """Resize (stubbed decode + real nearest-neighbour resample + real
+    re-encode of the pixel buffer): the Spark-side contract — schema,
+    Arrow batching, binary output column — is what a libvips-backed
+    version would keep byte-for-byte."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = []
+            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                img = _fake_decode(bytes(payload), int(w), int(h))
+                ys = (np.arange(out_h) * img.shape[0]) // out_h
+                xs = (np.arange(out_w) * img.shape[1]) // out_w
+                payloads.append(img[np.ix_(ys, xs)].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": pdf["media_type"],
+                    "width": pdf["width"].astype("int32"),
+                    "height": pdf["height"].astype("int32"),
+                    "out_w": np.full(len(pdf), out_w, dtype=np.int32),
+                    "out_h": np.full(len(pdf), out_h, dtype=np.int32),
+                    "payload": payloads,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_ref string, frame_idx int, frame_mean double"
+
+
+def sample_frames(media: DataFrame, n_frames: int = 3) -> DataFrame:
+    """Frame sampling for video media: 1 -> N rows per video with
+    deterministic per-frame stand-in decodes (payload digest + frame
+    index seeded). The fan-out shape (mapInPandas emitting multiple
+    rows per input) is exactly the real codec version's."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = pdf[pdf["media_type"] == "video/mp4"]
+            if vids.empty:
+                continue
+            refs, idxs, means = [], [], []
+            for ref, payload, w, h in zip(
+                vids["media_ref"], vids["payload"], vids["width"], vids["height"]
+            ):
+                for i in range(n_frames):
+                    frame = _fake_decode(
+                        bytes(payload) + i.to_bytes(4, "big"), int(w), int(h)
+                    )
+                    refs.append(ref)
+                    idxs.append(i)
+                    means.append(float(frame.mean()))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_mean": means,
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)

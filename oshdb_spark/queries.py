@@ -1614,6 +1614,53 @@ def o_media_meta_by_type() -> str:
     """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: connected components over the Jaccard near-dup
+    pair graph (keep = min doc_id per cluster); iterative min-label
+    propagation on the engine side, recursive CTE on the oracle side —
+    the step that turns pairwise similarity into keep/drop decisions."""
+    from oshdb_spark.operators.dedup import (
+        connected_components,
+        jaccard_similarity_join,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % JACCARD_MOD == 0)
+        .select(
+            "doc_id",
+            F.array_distinct(F.split(F.col("text"), " ")).alias("words"),
+        )
+    )
+    pairs = (
+        jaccard_similarity_join(docs, JACCARD_THRESHOLD - 1e-6)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    cc = connected_components(nodes, pairs)
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def o_dedup_clusters() -> str:
+    pair_sql = o_word_jaccard_pairs().strip()
+    return f"""
+    WITH RECURSIVE pairs AS ({pair_sql}),
+    nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id % {JACCARD_MOD} = 0),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, lab) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1
+    """
+
+
 def q_rollup_ts_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals via ROLLUP over (snap_ts, tag_v): the
     OSHDBCombinedIndex nesting (OSHDBCombinedIndex.java:9-69) plus the
@@ -1786,6 +1833,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "type_counts_at_ts": q_type_counts_at_ts,
     "events_tumbling": q_events_tumbling,
     "rollup_ts_type": q_rollup_ts_type,
+    "dedup_clusters": q_dedup_clusters,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_segment": q_top_orders_per_segment,
@@ -1834,6 +1882,7 @@ ORACLES: dict[str, str] = {
     "type_counts_at_ts": o_type_counts_at_ts(),
     "events_tumbling": o_events_tumbling(),
     "rollup_ts_type": o_rollup_ts_type(),
+    "dedup_clusters": o_dedup_clusters(),
     "pricing_summary": o_pricing_summary(),
     "revenue_by_nation": o_revenue_by_nation(),
     "top_orders_per_segment": o_top_orders_per_segment(),

@@ -90,6 +90,31 @@ def test_jaccard_similarity_join_equals_brute_force(spark, docs):
     )
 
 
+def test_media_resize_shapes_and_determinism(spark, docs):
+    from oshdb_spark.operators.media import resize_images, synth_media
+
+    m = synth_media(docs.limit(12))
+    out = resize_images(m, out_w=4, out_h=2).toPandas()
+    assert len(out) == 12
+    assert (out["out_w"] == 4).all() and (out["out_h"] == 2).all()
+    assert all(len(p) == 4 * 2 for p in out["payload"])  # resampled buffer
+    out2 = resize_images(m, out_w=4, out_h=2).toPandas().sort_values("media_ref")
+    assert list(out.sort_values("media_ref")["payload"]) == list(out2["payload"])
+
+
+def test_media_frame_sampling_fanout(spark, docs):
+    from oshdb_spark.operators.media import sample_frames, synth_media
+
+    m = synth_media(docs.limit(30))
+    n_videos = m.filter(F.col("media_type") == "video/mp4").count()
+    frames = sample_frames(m, n_frames=3).toPandas()
+    assert len(frames) == n_videos * 3
+    assert set(frames["frame_idx"]) == {0, 1, 2}
+    # frames of one video differ (per-frame seeding) but are deterministic
+    g = frames.groupby("media_ref")["frame_mean"].nunique()
+    assert (g > 1).any()
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     from oshdb_spark.queries import _ann_queries
     from oshdb_spark.operators.similarity import cosine_topk, ivf_topk
