@@ -1661,6 +1661,26 @@ def o_dedup_clusters() -> str:
     """
 
 
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The estimatedQuantile SCALE path: approx_percentile sketch
+    (Greenwald-Khanna in Spark vs the reference's t-digest,
+    TDigestReducer.java:21-39 — different sketch, same contract).
+    Rows-only in the gate; the tolerance vs the exact percentile is
+    asserted in tests/test_catalog_oracles.py."""
+    v = load_versions(spark, sf_dir)
+    t = snapshot_timestamps(spark, SNAPSHOT_TS)
+    snap = snapshots(v, t)
+    val = F.col("lon_e7").cast("double")
+    return snap.groupBy("snap_ts").agg(
+        F.approx_percentile(val, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)).alias("q"),
+    ).select(
+        "snap_ts",
+        F.col("q")[0].alias("p25"),
+        F.col("q")[1].alias("p50"),
+        F.col("q")[2].alias("p75"),
+    )
+
+
 def q_rollup_ts_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals via ROLLUP over (snap_ts, tag_v): the
     OSHDBCombinedIndex nesting (OSHDBCombinedIndex.java:9-69) plus the
@@ -1837,7 +1857,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_segment": q_top_orders_per_segment,
-    # rows-only checks (non-SQL-expressible: custom LSH / IVF kernels)
+    # rows-only checks (non-SQL-expressible: sketches / LSH / IVF kernels)
+    "approx_quantiles": q_approx_quantiles,
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
     "ivf_ann_top5": q_ivf_ann_top5,

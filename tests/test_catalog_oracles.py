@@ -31,3 +31,34 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0  # runs and has a stable schema
     assert df.columns
+
+
+def test_approx_quantiles_within_tolerance_of_exact(spark, sf_dir):
+    """Sketch contract (estimatedQuantile analog): the approx values
+    must sit within a small rank tolerance of the exact percentiles."""
+    from pyspark.sql import functions as F
+
+    from oshdb_spark.operators.snapshot import snapshot_timestamps, snapshots
+    from oshdb_spark.queries import q_approx_quantiles
+    from oshdb_spark.sources.versions import SNAPSHOT_TS, load_versions
+
+    approx = {r["snap_ts"]: r for r in q_approx_quantiles(spark, sf_dir).collect()}
+    snap = snapshots(
+        load_versions(spark, sf_dir), snapshot_timestamps(spark, SNAPSHOT_TS)
+    )
+    val = F.col("lon_e7").cast("double")
+    exact = {
+        r["snap_ts"]: r
+        for r in snap.groupBy("snap_ts")
+        .agg(
+            F.percentile(val, F.lit(0.25)).alias("p25"),
+            F.percentile(val, F.lit(0.5)).alias("p50"),
+            F.percentile(val, F.lit(0.75)).alias("p75"),
+        )
+        .collect()
+    }
+    span = 3_600_000_000.0
+    for ts, e in exact.items():
+        a = approx[ts]
+        for q in ("p25", "p50", "p75"):
+            assert abs(a[q] - e[q]) <= 0.02 * span, (ts, q, a[q], e[q])
