@@ -201,6 +201,52 @@ def np_clip_segments(
         return x1 + t0 * dx, y1 + t0 * dy, x1 + t1 * dx, y1 + t1 * dy, valid
 
 
+def np_clip_segments_convex(
+    x1: np.ndarray,
+    y1: np.ndarray,
+    x2: np.ndarray,
+    y2: np.ndarray,
+    poly_x: np.ndarray,
+    poly_y: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Cyrus–Beck parametric clip of a segment batch against ONE convex
+    polygon (CCW ring, closure implied): returns (t0, t1, valid) — the
+    clipped piece is p1 + t*(p2-p1), t in [t0, t1]. The line-feature
+    half of the reference's ``Geo.clip(geom, poly)`` (JTS intersection,
+    ``Geo.java:185-191``), vectorized over Arrow batches.
+
+    Per CCW edge (e1 -> e2) the outward normal is (dy, -dx); a point is
+    inside the half-plane when n . (p - e1) <= 0. Edge-parallel
+    segments outside their half-plane are rejected.
+    """
+    px = np.asarray(poly_x, dtype=np.float64)
+    py = np.asarray(poly_y, dtype=np.float64)
+    if px[0] == px[-1] and py[0] == py[-1]:
+        px, py = px[:-1], py[:-1]
+    x1 = np.asarray(x1, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    dx = np.asarray(x2, dtype=np.float64) - x1
+    dy = np.asarray(y2, dtype=np.float64) - y1
+    t0 = np.zeros_like(x1)
+    t1 = np.ones_like(x1)
+    reject = np.zeros(x1.shape, dtype=bool)
+    n = len(px)
+    for i in range(n):
+        ex, ey = px[i], py[i]
+        nx = py[(i + 1) % n] - ey  # outward normal of a CCW edge
+        ny = -(px[(i + 1) % n] - ex)
+        num = nx * (x1 - ex) + ny * (y1 - ey)  # >0 = outside
+        den = nx * dx + ny * dy
+        zero = den == 0
+        reject |= zero & (num > 0)
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            t = np.where(zero, 0.0, -num / np.where(zero, 1.0, den))
+        t0 = np.where(~zero & (den < 0), np.maximum(t0, t), t0)
+        t1 = np.where(~zero & (den > 0), np.minimum(t1, t), t1)
+    valid = ~reject & (t0 <= t1)
+    return t0, t1, valid
+
+
 # ---------------------------------------------------------------------------
 # cell cover (3-way classification, driver-side)
 # ---------------------------------------------------------------------------

@@ -1661,6 +1661,99 @@ def o_dedup_clusters() -> str:
     """
 
 
+def q_way_aoi_clipped_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line features clipped against a convex polygonal AOI (the
+    Geo.clip(geom, poly) line path): way polylines as-of TILE_TS cut by
+    the diamond via the Cyrus–Beck batch kernel, clipped length per way
+    (0.0 for ways entirely outside)."""
+    import numpy as np
+    import pandas as pd
+
+    from oshdb_spark.functions.geo import EARTH_RADIUS
+    from oshdb_spark.operators.spatial import np_clip_segments_convex
+
+    px = np.asarray(DIAMOND_LON, dtype=np.float64)
+    py = np.asarray(DIAMOND_LAT, dtype=np.float64)
+
+    w = _ways_asof(spark, sf_dir)
+    segs = w.select(
+        "way_id",
+        F.explode(F.sequence(F.lit(0), F.size("lon_arr") - 2)).alias("j"),
+        "lon_arr",
+        "lat_arr",
+    ).select(
+        "way_id",
+        F.element_at("lon_arr", F.col("j") + 1).cast("double").alias("x1"),
+        F.element_at("lat_arr", F.col("j") + 1).cast("double").alias("y1"),
+        F.element_at("lon_arr", F.col("j") + 2).cast("double").alias("x2"),
+        F.element_at("lat_arr", F.col("j") + 2).cast("double").alias("y2"),
+    )
+
+    def _fn(x1, y1, x2, y2):
+        a1, a2 = x1.to_numpy(), y1.to_numpy()
+        b1, b2 = x2.to_numpy(), y2.to_numpy()
+        t0, t1, valid = np_clip_segments_convex(a1, a2, b1, b2, px, py)
+        dx, dy = b1 - a1, b2 - a2
+        cx1, cy1 = a1 + t0 * dx, a2 + t0 * dy
+        cx2, cy2 = a1 + t1 * dx, a2 + t1 * dy
+        dlng = np.radians((cx2 - cx1) * 1e-7) * np.cos(
+            np.radians(((cy1 + cy2) * 1e-7) / 2.0)
+        )
+        dlat = np.radians((cy2 - cy1) * 1e-7)
+        out = EARTH_RADIUS * np.sqrt(dlng * dlng + dlat * dlat)
+        return pd.Series(np.where(valid, out, 0.0))
+
+    cliplen = pandas_udf(_fn, "double")
+    return (
+        segs.select("way_id", cliplen("x1", "y1", "x2", "y2").alias("len_m"))
+        .groupBy("way_id")
+        .agg(F.round(F.sum("len_m"), 4).alias("len_in_aoi_m"))
+    )
+
+
+def o_way_aoi_clipped_length() -> str:
+    from oshdb_spark.sources.ways import lat_sql, lon_sql
+
+    n_edges = len(DIAMOND_LON)
+    t0_terms, t1_terms, rej_terms = [], [], []
+    for i in range(n_edges):
+        ex, ey = DIAMOND_LON[i], DIAMOND_LAT[i]
+        nx = DIAMOND_LAT[(i + 1) % n_edges] - ey
+        ny = -(DIAMOND_LON[(i + 1) % n_edges] - ex)
+        num = f"({nx}.0 * (x1 - {ex}) + {ny}.0 * (y1 - {ey}))"
+        den = f"({nx}.0 * dx + {ny}.0 * dy)"
+        t0_terms.append(f"CASE WHEN {den} < 0 THEN -{num} / {den} ELSE 0 END")
+        t1_terms.append(f"CASE WHEN {den} > 0 THEN -{num} / {den} ELSE 1 END")
+        rej_terms.append(f"({den} = 0 AND {num} > 0)")
+    t0 = "greatest(0, " + ", ".join(t0_terms) + ")"
+    t1 = "least(1, " + ", ".join(t1_terms) + ")"
+    rej = " OR ".join(rej_terms)
+    seg_union = " UNION ALL ".join(
+        f"SELECT way_id, CAST({lon_sql(j)} AS DOUBLE) AS x1, CAST({lat_sql(j)} AS DOUBLE) AS y1, "
+        f"CAST({lon_sql(j + 1)} AS DOUBLE) AS x2, CAST({lat_sql(j + 1)} AS DOUBLE) AS y2 FROM ao"
+        for j in range(4)
+    )
+    return f"""{_ways_oracle_asof_cte()},
+    segs AS (SELECT *, x2 - x1 AS dx, y2 - y1 AS dy FROM ({seg_union})),
+    clipped AS (
+      SELECT way_id,
+        CASE WHEN NOT ({rej}) AND {t0} <= {t1} THEN
+          6371000.0 * sqrt(
+            (radians(((x1 + {t1} * dx) - (x1 + {t0} * dx)) * 1e-7)
+             * cos(radians((((y1 + {t0} * dy) + (y1 + {t1} * dy)) * 1e-7) / 2.0)))
+          * (radians(((x1 + {t1} * dx) - (x1 + {t0} * dx)) * 1e-7)
+             * cos(radians((((y1 + {t0} * dy) + (y1 + {t1} * dy)) * 1e-7) / 2.0)))
+          + radians(((y1 + {t1} * dy) - (y1 + {t0} * dy)) * 1e-7)
+            * radians(((y1 + {t1} * dy) - (y1 + {t0} * dy)) * 1e-7)
+          )
+        ELSE 0.0 END AS len_m
+      FROM segs
+    )
+    SELECT way_id, round(sum(len_m), 4) AS len_in_aoi_m
+    FROM clipped GROUP BY 1
+    """
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The estimatedQuantile SCALE path: approx_percentile sketch
     (Greenwald-Khanna in Spark vs the reference's t-digest,
@@ -1854,6 +1947,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": q_events_tumbling,
     "rollup_ts_type": q_rollup_ts_type,
     "dedup_clusters": q_dedup_clusters,
+    "way_aoi_clipped_length": q_way_aoi_clipped_length,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_segment": q_top_orders_per_segment,
@@ -1904,6 +1998,7 @@ ORACLES: dict[str, str] = {
     "events_tumbling": o_events_tumbling(),
     "rollup_ts_type": o_rollup_ts_type(),
     "dedup_clusters": o_dedup_clusters(),
+    "way_aoi_clipped_length": o_way_aoi_clipped_length(),
     "pricing_summary": o_pricing_summary(),
     "revenue_by_nation": o_revenue_by_nation(),
     "top_orders_per_segment": o_top_orders_per_segment(),
