@@ -282,24 +282,31 @@ def connected_components(
     """
     sym = edges.selectExpr("id_a AS src", "id_b AS dst").unionByName(
         edges.selectExpr("id_b AS src", "id_a AS dst")
-    )
+    ).localCheckpoint(eager=False)
     labels = nodes.select(F.col("id"), F.col("id").alias("lab"))
-    for _ in range(max_iter):
+    for it in range(max_iter):
+        # (a) neighbour min
         nbr_min = (
             sym.join(labels, sym["src"] == labels["id"])
             .groupBy("dst")
             .agg(F.min("lab").alias("nbr_lab"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("lab"), F.coalesce(F.col("nbr_lab"), F.col("lab"))
-                ).alias("lab"),
-            )
-            .localCheckpoint(eager=True)
+        l1 = labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left").select(
+            "id",
+            F.least(F.col("lab"), F.coalesce(F.col("nbr_lab"), F.col("lab"))).alias(
+                "lab"
+            ),
         )
+        # (b) pointer doubling: lab <- lab(lab) — collapses chains in
+        # O(log diameter) rounds instead of O(diameter)
+        parent = l1.select(F.col("id").alias("p_id"), F.col("lab").alias("p_lab"))
+        l2 = l1.join(parent, l1["lab"] == parent["p_id"], "left").select(
+            "id",
+            F.least(F.col("lab"), F.coalesce(F.col("p_lab"), F.col("lab"))).alias(
+                "lab"
+            ),
+        )
+        new_labels = l2.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
