@@ -1345,6 +1345,80 @@ def o_way_poly_area() -> str:
     """
 
 
+HOLE_SCALE_NUM, HOLE_SCALE_DEN = 1, 2  # inner ring = outer shrunk 2x about v0
+
+
+def q_way_poly_area_with_hole(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation -> MultiPolygon area semantics (|outer| - sum|inner|,
+    Geo.java:94-101): each way ring paired with a deterministic inner
+    ring (outer scaled 1/2 toward its first vertex), area via two
+    batched Chamberlain–Duquette passes."""
+    import numpy as np
+    import pandas as pd
+
+    from oshdb_spark.functions.geo import rings_area
+
+    def _fn(lon_arr, lat_arr):
+        lon = np.stack(lon_arr.to_numpy()).astype(np.float64)
+        lat = np.stack(lat_arr.to_numpy()).astype(np.float64)
+        # inner ring: integer-scaled toward vertex 0 (exact in both engines)
+        ilon = lon[:, :1] + np.floor(
+            (lon - lon[:, :1]) * HOLE_SCALE_NUM / HOLE_SCALE_DEN
+        )
+        ilat = lat[:, :1] + np.floor(
+            (lat - lat[:, :1]) * HOLE_SCALE_NUM / HOLE_SCALE_DEN
+        )
+
+        def area(lo, la):
+            lo_c = np.concatenate([lo, lo[:, :1]], axis=1) * 1e-7
+            la_c = np.concatenate([la, la[:, :1]], axis=1) * 1e-7
+            return np.abs(rings_area(lo_c, la_c))
+
+        return pd.Series(np.round((area(lon, lat) - area(ilon, ilat)) / 1e6, 4))
+
+    hole_area = pandas_udf(_fn, "double")
+    w = _ways_asof(spark, sf_dir)
+    return w.select("way_id", hole_area("lon_arr", "lat_arr").alias("area_km2"))
+
+
+def o_way_poly_area_with_hole() -> str:
+    from oshdb_spark.sources.ways import lat_sql, lon_sql
+
+    def inner_lon(j):
+        return (
+            f"({lon_sql(0)} + floor(({lon_sql(j)} - {lon_sql(0)})"
+            f" * {HOLE_SCALE_NUM} / {HOLE_SCALE_DEN}.0))"
+        )
+
+    def inner_lat(j):
+        return (
+            f"({lat_sql(0)} + floor(({lat_sql(j)} - {lat_sql(0)})"
+            f" * {HOLE_SCALE_NUM} / {HOLE_SCALE_DEN}.0))"
+        )
+
+    ring = [0, 1, 2, 3, 4, 0]
+
+    def cd_terms(lon_fn, lat_fn):
+        terms = []
+        for i in range(6):
+            x3 = lon_fn(ring[(i + 2) % 6])
+            x1 = lon_fn(ring[i])
+            y2 = lat_fn(ring[(i + 1) % 6])
+            terms.append(
+                f"(radians({x3} * 1e-7) - radians({x1} * 1e-7)) * sin(radians({y2} * 1e-7))"
+            )
+        return " + ".join(terms)
+
+    outer = cd_terms(lon_sql, lat_sql)
+    inner = cd_terms(inner_lon, inner_lat)
+    return f"""{_ways_oracle_asof_cte()}
+    SELECT way_id,
+           round((abs(({outer}) * 6371000.0 * 6371000.0 / 2.0)
+                - abs(({inner}) * 6371000.0 * 6371000.0 / 2.0)) / 1e6, 4) AS area_km2
+    FROM ao
+    """
+
+
 def q_way_contrib_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contribution view over way geometries: lag over the coordinate
     ARRAYS classifies GEOMETRY_CHANGE when any vertex moved (the
@@ -1948,6 +2022,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_ts_type": q_rollup_ts_type,
     "dedup_clusters": q_dedup_clusters,
     "way_aoi_clipped_length": q_way_aoi_clipped_length,
+    "way_poly_area_with_hole": q_way_poly_area_with_hole,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_segment": q_top_orders_per_segment,
@@ -1999,6 +2074,7 @@ ORACLES: dict[str, str] = {
     "rollup_ts_type": o_rollup_ts_type(),
     "dedup_clusters": o_dedup_clusters(),
     "way_aoi_clipped_length": o_way_aoi_clipped_length(),
+    "way_poly_area_with_hole": o_way_poly_area_with_hole(),
     "pricing_summary": o_pricing_summary(),
     "revenue_by_nation": o_revenue_by_nation(),
     "top_orders_per_segment": o_top_orders_per_segment(),
