@@ -173,6 +173,18 @@ class _BaseView:
         partial+final exactly like the reference's kernel split)."""
         return self._grouped().agg(*aggs)
 
+    def raster_tiles(self, zoom: int) -> DataFrame:
+        """Materialize the view as a density raster keyed (zoom, x, y)."""
+        from oshdb_spark.operators.tiles import raster_tiles
+
+        return raster_tiles(self.dataframe(), zoom)
+
+    def vector_tiles(self, zoom: int, feature_col: str = "entity_id") -> DataFrame:
+        """Materialize the view as vector tiles (sorted feature lists)."""
+        from oshdb_spark.operators.tiles import vector_tiles
+
+        return vector_tiles(self.dataframe(), zoom, feature_col)
+
     def collect(self) -> list:
         return self.dataframe().collect()
 

@@ -90,6 +90,22 @@ def test_fluent_geometry_overlay_with_zerofill(spark, sf_dir):
     assert _as_dict(got, "region_key", "cnt") == _as_dict(expected, "region_key", "cnt")
 
 
+def test_fluent_tile_terminals(spark, sf_dir):
+    from oshdb_spark.queries import q_raster_tiles_z6
+
+    v = load_versions(spark, sf_dir)
+    got = (
+        SnapshotView.on(v)
+        .timestamps([TILE_TS])
+        .raster_tiles(6)
+        .select("zoom", "tile_x", "tile_y", F.col("val").cast("long").alias("val"))
+    )
+    expected = q_raster_tiles_z6(spark, sf_dir)
+    assert _as_dict(got, "tile_x", "tile_y", "val") == _as_dict(
+        expected, "tile_x", "tile_y", "val"
+    )
+
+
 def test_fluent_generic_reduce_and_map(spark, sf_dir):
     v = load_versions(spark, sf_dir)
     got = (
