@@ -43,8 +43,18 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         shuffle_partitions=max(cpus * 2, 8),
     )
     ensure_shipped(spark)
-    # warm the JVM + Python worker pool once (excluded from timings)
+    # warm the JVM, parquet footers and the Python worker pool once
+    # (excluded from timings) so the first catalog query isn't charged
+    # session startup
     spark.range(1000).selectExpr("sum(id)").collect()
+    from pyspark.sql import functions as FF
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    for t in ("events", "documents", "embeddings", "nation", "orders",
+              "customer", "lineitem"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
+    _noop = _pudf(lambda s: s, "long")
+    spark.range(1000).select(_noop(FF.col("id"))).count()
 
     timings: dict[str, float] = {}
     rows = 0
