@@ -137,7 +137,10 @@ def main() -> None:
             t4, _ = one_run(4)
             pairs.append({"t1": round(t1, 3), "t4": round(t4, 3),
                           "eff": round((t1 / t4) / 4.0, 3)})
-        best = max(pairs, key=lambda p: p["eff"])  # least-disturbed pair
+        # least-disturbed pair = smallest combined wall time; picking
+        # max efficiency instead is biased toward pairs whose 1-exec
+        # leg got stalled (observed super-linear 1.1+ "efficiencies")
+        best = min(pairs, key=lambda p: p["t1"] + p["t4"])
         results = {
             1: {"sec": best["t1"], "rows": rows,
                 "rows_per_sec": round(rows / best["t1"], 1)},
@@ -155,8 +158,8 @@ def main() -> None:
                 "both cluster sizes; separate executor JVMs via "
                 "local-cluster[N,1,4096] (1 core per executor, shuffle on "
                 "tmpfs, AQE off for the measurement); one warmup run per "
-                f"session; {repeats} interleaved pairs, best pair reported "
-                "(shared noisy box).\n\n"
+                f"session; {repeats} interleaved pairs, least-disturbed pair "
+                "(min combined wall) reported (shared noisy box).\n\n"
                 "| cluster | wall sec | tiles+join rows | rows/sec |\n"
                 "|---|---|---|---|\n"
                 f"| 1 executor x 1 core   | {results[1]['sec']} | {results[1]['rows']} | {results[1]['rows_per_sec']} |\n"
@@ -165,7 +168,8 @@ def main() -> None:
                 f"**{eff:.3f}** (target >= 0.8 per BASELINE.json; 1.0 = perfect "
                 "linear scaling).\n\n"
                 f"All interleaved pairs (1-exec leg then 4-exec leg, "
-                f"efficiency per pair; best pair reported above): {pairs}\n\n"
+                f"efficiency per pair; least-disturbed pair reported above): "
+                f"{pairs}\n\n"
                 "Why local-cluster and not local[8] vs local[32]: this box "
                 "reports 32 CPUs but pure-CPU process scaling measures ~2.9x "
                 "from 8 to 32 workers (SMT), and JVM *thread* scaling "
