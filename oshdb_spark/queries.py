@@ -1171,6 +1171,93 @@ def o_region_clipped_length() -> str:
     """
 
 
+def q_entity_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupByEntity + collect() at row level (MapReducer.java:731-746,
+    1447-1453): each entity's full ordered (version, ts, tag_v) history
+    as one row — the List the reference feeds to per-entity mappers."""
+    v = load_versions(spark, sf_dir)
+    entry = F.format_string(
+        "%d@%d=%d", F.col("version"), F.col("ts"), F.col("tag_v")
+    )
+    return (
+        v.withColumn("_e", entry)
+        .groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.array_join(F.array_sort(F.collect_list("_e")), ",").alias("history"),
+        )
+    )
+
+
+def o_entity_history() -> str:
+    # lexicographic sort of "version@ts=tag" strings == version order is
+    # NOT guaranteed (v10 < v2 lexicographically), so both sides sort
+    # the formatted strings lexicographically — same convention, equal
+    return f"""{_versions_cte()}
+    SELECT entity_id, count(*) AS n_versions,
+           array_to_string(list_sort(list(format('{{}}@{{}}={{}}', version, ts, tag_v))), ',') AS history
+    FROM {_V} GROUP BY 1
+    """
+
+
+SESSION_GAP = 1800  # 30 min
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the raw event stream (the classic
+    temporal operator this engine's window machinery gives for free):
+    a session break is a >30 min silence per user; output per-user
+    session count and mean session duration."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    marked = ev.withColumn(
+        "new_session",
+        (
+            F.coalesce(F.col("ts") - F.lag("ts").over(w), F.lit(SESSION_GAP + 1))
+            > SESSION_GAP
+        ).cast("int"),
+    ).withColumn("session_id", F.sum("new_session").over(w))
+    sessions = marked.groupBy("user_id", "session_id").agg(
+        (F.max("ts") - F.min("ts")).alias("dur")
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("dur"), 6).alias("avg_dur_sec"),
+    )
+
+
+def o_user_sessions() -> str:
+    return f"""
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events
+    ),
+    m AS (
+      SELECT user_id, ts,
+             CASE WHEN coalesce(ts - lag(ts) OVER win, {SESSION_GAP + 1}) > {SESSION_GAP}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    RANGE UNBOUNDED PRECEDING) AS session_id
+      FROM m
+    ),
+    d AS (
+      SELECT user_id, session_id, max(ts) - min(ts) AS dur
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id, count(*) AS n_sessions,
+           round(avg(dur), 6) AS avg_dur_sec
+    FROM d GROUP BY 1
+    """
+
+
 def q_insert_level_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-zoom storage assignment: each entity's bbox is inserted at
     the deepest zoom whose cell-count estimate is <= 2, anchored SW
@@ -2013,6 +2100,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_clipped_length": q_region_clipped_length,
     "salted_cell_counts": q_salted_cell_counts,
     "insert_level_hist": q_insert_level_hist,
+    "entity_history": q_entity_history,
+    "user_sessions": q_user_sessions,
     "way_length_at_ts": q_way_length_at_ts,
     "way_poly_area": q_way_poly_area,
     "way_contrib_counts": q_way_contrib_counts,
@@ -2065,6 +2154,8 @@ ORACLES: dict[str, str] = {
     "region_clipped_length": o_region_clipped_length(),
     "salted_cell_counts": o_salted_cell_counts(),
     "insert_level_hist": o_insert_level_hist(),
+    "entity_history": o_entity_history(),
+    "user_sessions": o_user_sessions(),
     "way_length_at_ts": o_way_length_at_ts(),
     "way_poly_area": o_way_poly_area(),
     "way_contrib_counts": o_way_contrib_counts(),
