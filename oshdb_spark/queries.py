@@ -1171,6 +1171,40 @@ def o_region_clipped_length() -> str:
     """
 
 
+PREFIX_FINE_ZOOM, PREFIX_COARSE_ZOOM = 10, 4
+
+
+def q_cell_prefix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical-prefix partition keys: rows indexed at a fine zoom,
+    aggregated by the COARSE parent derived from the fine cell alone
+    (runtime.cell_prefix — the H3/S2-style subtree relation partition
+    pruning relies on). The oracle computes the coarse cell directly
+    from coordinates: equality proves prefix(fine) == coarse."""
+    from oshdb_spark.grid import cell_id_col
+    from oshdb_spark.runtime import cell_prefix
+
+    v = load_versions(spark, sf_dir)
+    fine = cell_id_col(PREFIX_FINE_ZOOM, F.col("lon_e7"), F.col("lat_e7"))
+    coarse = cell_prefix(fine, PREFIX_FINE_ZOOM, PREFIX_COARSE_ZOOM)
+    return (
+        v.select(coarse.alias("prefix_cell"))
+        .groupBy("prefix_cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def o_cell_prefix_counts() -> str:
+    n = 1 << PREFIX_COARSE_ZOOM
+    return f"""{_versions_cte()}
+    SELECT (CASE WHEN lat_e7 + {LAT_MAX} = {WORLD_LAT} THEN {WORLD_LAT} - 1
+                 ELSE lat_e7 + {LAT_MAX} END) * {n} // {WORLD_LON} * {n}
+         + (CASE WHEN lon_e7 + {LON_MAX} = {WORLD_LON} THEN 0
+                 ELSE lon_e7 + {LON_MAX} END) * {n} // {WORLD_LON} AS prefix_cell,
+           count(*) AS cnt
+    FROM {_V} GROUP BY 1
+    """
+
+
 def q_entity_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """groupByEntity + collect() at row level (MapReducer.java:731-746,
     1447-1453): each entity's full ordered (version, ts, tag_v) history
@@ -2100,6 +2134,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_clipped_length": q_region_clipped_length,
     "salted_cell_counts": q_salted_cell_counts,
     "insert_level_hist": q_insert_level_hist,
+    "cell_prefix_counts": q_cell_prefix_counts,
     "entity_history": q_entity_history,
     "user_sessions": q_user_sessions,
     "way_length_at_ts": q_way_length_at_ts,
@@ -2154,6 +2189,7 @@ ORACLES: dict[str, str] = {
     "region_clipped_length": o_region_clipped_length(),
     "salted_cell_counts": o_salted_cell_counts(),
     "insert_level_hist": o_insert_level_hist(),
+    "cell_prefix_counts": o_cell_prefix_counts(),
     "entity_history": o_entity_history(),
     "user_sessions": o_user_sessions(),
     "way_length_at_ts": o_way_length_at_ts(),
