@@ -47,11 +47,14 @@ def zerofill(
     universes: list[DataFrame],
     value_cols: dict[str, float],
 ) -> DataFrame:
-    """Left-join ``grouped`` against the cross product of key-universe
-    DataFrames, coalescing each value column to its identity."""
+    """Right-join ``grouped`` against the cross product of key-universe
+    DataFrames, coalescing each value column to its identity. The
+    broadcast side is the *universe* (a few literal keys by
+    construction), never the grouped results, whose size grows with the
+    data — safe at any scale."""
     universe = _reduce(lambda a, b: a.crossJoin(b), universes)
     keys = [c for u in universes for c in u.columns]
-    out = universe.join(F.broadcast(grouped), on=keys, how="left")
+    out = grouped.join(F.broadcast(universe), on=keys, how="right")
     for col, identity in value_cols.items():
         out = out.withColumn(col, F.coalesce(F.col(col), F.lit(identity)))
     return out

@@ -36,71 +36,52 @@ _rng = np.random.default_rng(42)
 _A = _rng.integers(1, MERSENNE, N_HASHES, dtype=np.int64)
 _B = _rng.integers(0, MERSENNE, N_HASHES, dtype=np.int64)
 
-
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """Deterministic 64-bit mixer (public splitmix64 constants)."""
-    x = (x + np.uint64(0x9E3779B97F4B9FF3)).astype(np.uint64)
-    x ^= x >> np.uint64(30)
-    x = (x * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
-    x ^= x >> np.uint64(27)
-    x = (x * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
-    x ^= x >> np.uint64(31)
-    return x
+_SEP = "\x1f"  # shingle-internal word separator (never appears in words)
 
 
-_C2 = np.uint64(0x9E3779B97F4B9FF3)
-_C3 = np.uint64(0xC2B2AE3D27D4EB4F)
-_M64 = 0xFFFFFFFFFFFFFFFF
-
-_WORD_HASH_CACHE: dict[str, int] = {}
-
-
-def _word_hash(w: str) -> int:
-    """FNV-1a over the word bytes, memoized — each distinct word is
-    hashed once per Python worker, so shingle hashing is O(words) dict
-    lookups + one vectorized combine instead of O(bytes) Python."""
-    h = _WORD_HASH_CACHE.get(w)
-    if h is None:
-        hv = 1469598103934665603
-        for b in w.encode():
-            hv = ((hv ^ b) * 1099511628211) & _M64
-        _WORD_HASH_CACHE[w] = h = hv
-    return h
-
-
-def _token_hashes(text: str) -> np.ndarray:
-    """Hashes of the word 3-gram shingles of one document (uint64):
-    per-word FNV (cached) combined per-shingle in one numpy pass."""
-    words = (text or "").lower().split()
-    if not words:
-        return np.zeros(1, dtype=np.uint64)
-    hw = np.fromiter(
-        (_word_hash(w) for w in words), dtype=np.uint64, count=len(words)
+def shingle_hashes_col(text_col) -> F.Column:
+    """int64 hashes of the word 3-gram shingles of a document, built
+    entirely JVM-side (lower/split/filter + transform + xxhash64) so no
+    Python string loop ever runs — docs shorter than 3 words collapse to
+    a single whole-doc shingle, empty docs to the hash of ''."""
+    words = F.filter(F.split(F.lower(text_col), r"\s+"), lambda w: w != F.lit(""))
+    n = F.size(words)
+    shingles = (
+        F.when(
+            n >= 3,
+            F.transform(
+                F.sequence(F.lit(0), n - 3),
+                lambda i: F.concat_ws(
+                    _SEP,
+                    F.element_at(words, i + 1),
+                    F.element_at(words, i + 2),
+                    F.element_at(words, i + 3),
+                ),
+            ),
+        )
+        .when(n >= 1, F.array(F.array_join(words, _SEP)))
+        .otherwise(F.array(F.lit("")))
     )
-    if len(words) < 3:
-        acc = int(hw[0])
-        for h in hw[1:]:
-            acc = (acc ^ ((int(h) * int(_C2)) & _M64)) & _M64
-        return _splitmix64(np.array([acc], dtype=np.uint64))
-    comb = hw[:-2] ^ (hw[1:-1] * _C2) ^ (hw[2:] * _C3)  # uint64 wraps
-    return _splitmix64(comb)
+    return F.transform(shingles, lambda s: F.xxhash64(s))
 
 
 def _minhash_signature_udf():
-    """64-permutation MinHash signature per document (UDF built lazily:
-    module-level pandas_udf decorators would run at import time inside
-    executors, where no SparkSession exists)."""
+    """64-permutation MinHash signature per document from the JVM-built
+    shingle-hash arrays (UDF built lazily: module-level pandas_udf
+    decorators would run at import time inside executors, where no
+    SparkSession exists). Only the (T, 64) permutation-min matrix math
+    stays in numpy; tokenization/hashing never touches Python."""
 
     @pandas_udf("array<long>")
-    def minhash_signature(texts: pd.Series) -> pd.Series:
-        per_doc = [_token_hashes(t) for t in texts]
+    def minhash_signature(hashes: pd.Series) -> pd.Series:
+        per_doc = [np.asarray(h, dtype=np.int64) for h in hashes]
         if not per_doc:
             return pd.Series([], dtype=object)
         # one (total_shingles, 64) permutation pass for the whole Arrow
         # batch, then a segmented min per document (reduceat)
         counts = np.array([len(h) for h in per_doc])
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        all_hs = np.concatenate(per_doc)
+        all_hs = np.concatenate(per_doc).astype(np.uint64)
         vals = (all_hs.astype(np.int64) % MERSENNE)[:, None]  # (T, 1)
         perm = (vals * _A[None, :] + _B[None, :]) % MERSENNE  # (T, 64)
         mins = np.minimum.reduceat(perm, starts, axis=0)  # (docs, 64)
@@ -111,15 +92,15 @@ def _minhash_signature_udf():
 
 def _simhash64_udf():
     @pandas_udf("long")
-    def simhash64(texts: pd.Series) -> pd.Series:
-        """64-bit SimHash: sign of per-bit votes over shingle hashes,
-        batched — one bit-unpack + segmented sum for the whole batch."""
-        per_doc = [_token_hashes(t) for t in texts]
+    def simhash64(hashes: pd.Series) -> pd.Series:
+        """64-bit SimHash: sign of per-bit votes over the JVM-built
+        shingle hashes, batched — one bit-unpack + segmented sum."""
+        per_doc = [np.asarray(h, dtype=np.int64) for h in hashes]
         if not per_doc:
             return pd.Series([], dtype="int64")
         counts = np.array([len(h) for h in per_doc])
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        all_hs = np.concatenate(per_doc)
+        all_hs = np.concatenate(per_doc).astype(np.uint64)
         bits = (
             (all_hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         ).astype(np.int64)  # (T, 64)
@@ -149,7 +130,8 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def minhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Candidate near-dup pairs (a < b) from LSH band buckets."""
     sigs = docs.select(
-        F.col(id_col).alias("id"), _minhash_signature_udf()(F.col(text_col)).alias("sig")
+        F.col(id_col).alias("id"),
+        _minhash_signature_udf()(shingle_hashes_col(F.col(text_col))).alias("sig"),
     )
     bands = sigs.select(
         "id",
@@ -181,23 +163,25 @@ def jaccard_verify(
     id_col: str = "doc_id", text_col: str = "text",
 ) -> DataFrame:
     """Exact word-3-gram Jaccard on candidate pairs only (never O(n^2));
-    keeps pairs with similarity >= threshold."""
-
-    @pandas_udf("double")
-    def jac(a: pd.Series, b: pd.Series) -> pd.Series:
-        vals = []
-        for x, y in zip(a, b):
-            sa, sb = set(_token_hashes(x or "").tolist()), set(_token_hashes(y or "").tolist())
-            inter = len(sa & sb)
-            union = len(sa | sb)
-            vals.append(inter / union if union else 0.0)
-        return pd.Series(vals)
-
-    d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    keeps pairs with similarity >= threshold. Pure JVM: shingle-hash
+    sets built by ``shingle_hashes_col``, intersected with
+    ``array_intersect`` — zero Python in the verify path."""
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingle_hashes_col(F.col(text_col))).alias("hs"),
+    )
+    inter = F.size(F.array_intersect(F.col("da.hs"), F.col("db.hs")))
+    union = F.size(F.col("da.hs")) + F.size(F.col("db.hs")) - inter
     joined = (
         pairs.join(F.broadcast(d).alias("da"), pairs["id_a"] == F.col("da.id"))
         .join(F.broadcast(d).alias("db"), pairs["id_b"] == F.col("db.id"))
-        .select("id_a", "id_b", jac(F.col("da.t"), F.col("db.t")).alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            F.when(union > 0, inter.cast("double") / union)
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
+        )
     )
     return joined.filter(F.col("jaccard") >= threshold)
 
@@ -258,7 +242,10 @@ def jaccard_similarity_join(
 
 def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Documents sharing an identical 64-bit SimHash signature."""
-    s = docs.select(F.col(id_col).alias("id"), _simhash64_udf()(F.col(text_col)).alias("sim"))
+    s = docs.select(
+        F.col(id_col).alias("id"),
+        _simhash64_udf()(shingle_hashes_col(F.col(text_col))).alias("sim"),
+    )
     return (
         s.groupBy("sim")
         .agg(F.count(F.lit(1)).alias("cnt"), F.array_sort(F.collect_list("id")).alias("ids"))
@@ -307,15 +294,21 @@ def connected_components(
             ),
         )
         new_labels = l2.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        # convergence check is a driver action (a job per check); with
+        # pointer doubling labels converge in O(log diameter) rounds, so
+        # probing every 2nd round halves the driver jobs at no risk
+        if (it + 1) % 2 == 0 or it == max_iter - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.lab") != F.col("o.lab"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
     return labels.select(F.col("id"), F.col("lab").alias("cluster_id"))
 
 
@@ -334,7 +327,8 @@ def simhash_neardup_pairs(
     exact distance check is a JVM ``bit_count(a ^ b)``. The multi-probe
     band join keeps candidate generation a hash join, never O(n^2)."""
     s = docs.select(
-        F.col(id_col).alias("id"), _simhash64_udf()(F.col(text_col)).alias("sim")
+        F.col(id_col).alias("id"),
+        _simhash64_udf()(shingle_hashes_col(F.col(text_col))).alias("sim"),
     )
     bands = s.select(
         "id",

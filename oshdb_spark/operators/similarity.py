@@ -90,6 +90,51 @@ def assign_centroids(
     return vectors.withColumn("centroid", nearest(F.col(vec_col)))
 
 
+def train_kmeans(
+    vectors: DataFrame,
+    k: int = 8,
+    sample: int = 2048,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 13,
+) -> list[list[float]]:
+    """Deterministic sampled k-means for IVF list training: a bounded
+    hash-sampled subset is collected (driver-side numpy, k-means++ init
+    + Lloyd) — the standard way IVF indexes are trained (sample, fit,
+    broadcast). At 10^12 scale the sample stays a few thousand rows; the
+    expensive part (assignment of all vectors) remains distributed in
+    ``assign_centroids``. Deterministic: hash-based sampling (no rand())
+    and a fixed-seed RNG, so re-runs and resumes see identical lists."""
+    n_total = vectors.count()
+    if n_total > sample:
+        # deterministic hash sample of ~`sample` rows (xxhash64 of the id)
+        mod = max(1, n_total // sample)
+        sampled = vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+    else:
+        sampled = vectors
+    rows = sampled.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding
+    cents = [X[int(rng.integers(len(X)))]]
+    for _ in range(1, k):
+        d2 = np.min(
+            ((X[:, None, :] - np.asarray(cents)[None, :, :]) ** 2).sum(axis=2), axis=1
+        )
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(len(X), 1.0 / len(X))
+        cents.append(X[int(rng.choice(len(X), p=probs))])
+    C = np.asarray(cents)
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)
+        for j in range(k):
+            pts = X[lab == j]
+            if len(pts):
+                C[j] = pts.mean(axis=0)
+    return C.tolist()
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -106,7 +151,10 @@ def ivf_topk(
     def probes(vecs: pd.Series) -> pd.Series:
         M = np.array(vecs.tolist(), dtype=np.float64)
         d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d2, axis=1)[:, :nprobe].astype(np.int32)
+        # stable sort: ties break toward the lower centroid id, matching
+        # the SQL oracle's ORDER BY dist, cid (default quicksort would
+        # order tied distances arbitrarily)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
         return pd.Series(list(order))
 
     assigned = assign_centroids(vectors, centroids, vec_col).select(

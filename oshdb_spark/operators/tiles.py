@@ -124,7 +124,11 @@ def way_vector_tiles(ways: DataFrame, zoom: int) -> DataFrame:
         )
         dlat = np.radians((cy2 - cy1) * 1e-7)
         out = EARTH_RADIUS * np.sqrt(dlng * dlng + dlat * dlat)
-        return pd.Series(np.where(valid, out, 0.0))
+        # invalid clips (Liang-Barsky rejection: the segment's bbox spans
+        # the tile but the segment itself never enters it) -> NULL, so the
+        # way is neither counted nor summed for that tile (the reference
+        # drops empty JTS intersections, Geo.java:185-191)
+        return pd.Series(np.where(valid, out, np.nan))
 
     cliplen = pandas_udf(_cliplen_fn, "double")
     clipped = fanned.select(
@@ -139,7 +143,8 @@ def way_vector_tiles(ways: DataFrame, zoom: int) -> DataFrame:
         ).alias("len_m"),
     )
     return (
-        clipped.groupBy("tile_x", "tile_y")
+        clipped.filter(F.col("len_m").isNotNull())
+        .groupBy("tile_x", "tile_y")
         .agg(
             F.count_distinct("way_id").alias("n_ways"),
             F.round(F.sum("len_m") / 1000.0, 2).alias("len_km"),

@@ -51,6 +51,7 @@ class _ViewState:
     regions: dict[str, tuple[int, int, int, int]] | None = None
     zerofill_universes: tuple[DataFrame, ...] = ()
     ts_floor: bool = False
+    known_tag_keys: frozenset[int] | None = None
 
 
 class _BaseView:
@@ -86,6 +87,53 @@ class _BaseView:
         """osmTag(key) presence (!=0 / not null) or osmTag(key, value)."""
         c = F.col(col)
         pred = c.isNotNull() & (c != 0) if value is None else (c == value)
+        return self.where(pred)
+
+    # -- general tags-map filters (MapReducer.java:422-654) -----------------
+
+    def with_keytable(self, known_keys) -> "_BaseView":
+        """Declare the dictionary's known tag-key ids (TagTranslator
+        analog). With a keytable set, filters on unknown keys compile to
+        ``lit(False)`` — Catalyst folds the whole subtree to an empty
+        relation, the reference's scan-skip shortcut
+        (MapReducer.java:469-474)."""
+        return self._with(known_tag_keys=frozenset(known_keys))
+
+    def _tag_pred(self, key: int, values=None) -> Column:
+        s = self._s
+        if s.known_tag_keys is not None and key not in s.known_tag_keys:
+            return F.lit(False)
+        t = F.col("tags")
+        if values is None:
+            return F.map_contains_key(t, F.lit(key))
+        vals = list(values)
+        if len(vals) == 1:
+            return t.getItem(key) == vals[0]
+        return t.getItem(key).isin(vals)
+
+    def where_tag_key(self, key: int) -> "_BaseView":
+        """osmTag(key): key presence in the tags map (MapReducer.java:443-474)."""
+        return self.where(self._tag_pred(key))
+
+    def where_tag_in(self, key: int, values) -> "_BaseView":
+        """osmTag(key, value) / osmTag(key, Collection<values>)
+        (MapReducer.java:489-560): tags[key] in the value set (absent
+        key -> null -> false, the reference's semantics)."""
+        return self.where(self._tag_pred(key, values))
+
+    def where_any_tag(self, items) -> "_BaseView":
+        """osmTag(Collection<OSMTagInterface>) OR-list of mixed bare
+        keys and (key, value[s]) pairs (MapReducer.java:606-654).
+        ``items``: iterable of ``key`` or ``(key, value)`` or
+        ``(key, [values])``."""
+        pred = F.lit(False)
+        for item in items:
+            if isinstance(item, tuple):
+                k, v = item
+                vals = None if v is None else (v if isinstance(v, (list, tuple)) else [v])
+                pred = pred | self._tag_pred(k, vals)
+            else:
+                pred = pred | self._tag_pred(item)
         return self.where(pred)
 
     def map(self, fn: Callable[[DataFrame], DataFrame]) -> "_BaseView":

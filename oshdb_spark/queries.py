@@ -541,8 +541,8 @@ def o_token_stats_by_source() -> str:
 
     return f"""
     SELECT source, count(*) AS n_docs,
-           sum({_TOKENS_SQL}) AS sum_tokens,
-           sum(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))) AS sum_bpe_tokens,
+           CAST(sum({_TOKENS_SQL}) AS BIGINT) AS sum_tokens,
+           CAST(sum(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))) AS BIGINT) AS sum_bpe_tokens,
            round(avg(length(text)), 6) AS avg_chars
     FROM documents GROUP BY 1
     """
@@ -656,22 +656,70 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_NPROBE = 2
+IVF_NCENT = 8
+
+
 def q_ivf_ann_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate ANN (rows-only; recall vs brute force is
-    asserted in tests/test_similarity.py)."""
+    """IVF-bucketed approximate ANN with a fixed deterministic centroid
+    set (the first IVF_NCENT embeddings) so the whole pipeline —
+    assignment, probe selection, candidate equi-join, cosine ranking —
+    is SQL-expressible and oracle-checked. The production path trains
+    centroids with ``similarity.train_kmeans`` (sampled k-means++ +
+    Lloyd); its recall >= this fixture's is asserted in
+    tests/test_pipeline_ops.py."""
     from oshdb_spark.operators.similarity import ivf_topk
 
     emb, queries = _ann_queries(spark, sf_dir)
     cents = (
-        emb.filter(F.col("vec_id") < 8)
+        emb.filter(F.col("vec_id") < IVF_NCENT)
         .orderBy("vec_id")
         .select("embedding")
         .collect()
     )
     centroids = [list(r["embedding"]) for r in cents]
-    return ivf_topk(emb, queries, centroids, k=ANN_K, nprobe=2).select(
+    return ivf_topk(emb, queries, centroids, k=ANN_K, nprobe=IVF_NPROBE).select(
         "q_id", "rank", "nbr_id", "cosine"
     )
+
+
+def o_ivf_ann_top5() -> str:
+    # centroid assignment (argmin of IVF_NCENT distances, ties to the
+    # lower centroid id — numpy argmin first-occurrence), probe set
+    # (nprobe nearest lists, stable argsort), candidate equi-join on the
+    # centroid id, cosine ranking — all deterministic SQL
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {IVF_NCENT}),
+    ad AS (
+      SELECT v.vec_id, c.cid,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_distance(v.e, c.ce), c.cid) AS rn
+      FROM v, c
+    ),
+    assigned AS (SELECT vec_id, cid FROM ad WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % {ANN_QUERY_MOD} = 0),
+    qp AS (
+      SELECT q.q_id, c.cid,
+             row_number() OVER (PARTITION BY q.q_id
+                                ORDER BY list_distance(q.qe, c.ce), c.cid) AS rn
+      FROM q, c
+    ),
+    probes AS (SELECT q_id, cid FROM qp WHERE rn <= {IVF_NPROBE}),
+    s AS (
+      SELECT p.q_id, a.vec_id AS nbr_id,
+             round(list_dot_product(q.qe, v.e)
+                   / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e))), 6) AS cosine
+      FROM probes p
+      JOIN assigned a ON a.cid = p.cid
+      JOIN q ON q.q_id = p.q_id
+      JOIN v ON v.vec_id = a.vec_id
+      WHERE a.vec_id <> p.q_id
+    )
+    SELECT q_id, CAST(rank AS INT) AS rank, nbr_id, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nbr_id) AS rank FROM s
+    ) WHERE rank <= {ANN_K}
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -703,7 +751,7 @@ def q_reducer_suite_by_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def o_reducer_suite_by_ts() -> str:
     return f"""{_validity_cte()}
     SELECT t.snap_ts AS snap_ts,
-           sum(tag_v) AS sum_v,
+           CAST(sum(tag_v) AS BIGINT) AS sum_v,
            round(avg(CAST(tag_v AS DOUBLE)), 6) AS avg_v,
            round(sum(CAST(tag_v AS DOUBLE) * version) / sum(CAST(version AS DOUBLE)), 6) AS wavg_v,
            round(quantile_cont(CAST(tag_v AS DOUBLE), 0.5), 6) AS med_v,
@@ -831,6 +879,97 @@ def o_tag_regex_counts() -> str:
 
 
 # ---------------------------------------------------------------------------
+# general tags-map filters: value-set, OR-list, unknown-key shortcut
+# ---------------------------------------------------------------------------
+
+def _tag_snapshot_view(spark: SparkSession, sf_dir: str):
+    from oshdb_spark.plans.builder import SnapshotView
+    from oshdb_spark.sources.versions import KNOWN_TAG_KEYS
+
+    v = load_versions(spark, sf_dir)
+    return (
+        SnapshotView.on(v)
+        .timestamps(SNAPSHOT_TS)
+        .with_keytable(KNOWN_TAG_KEYS)
+    )
+
+
+def q_tag_value_set_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """osmTag(key, Collection<values>) over the general tags map
+    (MapReducer.java:526-560; TestOSMDataFilters.java:95-121): snapshot
+    counts of entities whose key-3 ("highway" analog) value is in
+    {10, 11} — absent key -> null -> excluded, the reference's
+    semantics."""
+    return (
+        _tag_snapshot_view(spark, sf_dir)
+        .where_tag_in(3, [10, 11])
+        .aggregate_by_timestamp()
+        .count(alias="cnt")
+    )
+
+
+def o_tag_value_set_counts() -> str:
+    from oshdb_spark.sources.versions import tag_pred_sql
+
+    return f"""{_validity_cte()}
+    SELECT t.snap_ts AS snap_ts, count(*) AS cnt
+    FROM w, {snapshot_ts_values_sql()}
+    WHERE w.visible AND {tag_pred_sql(3, [10, 11])}
+      AND t.snap_ts >= w.ts AND (w.valid_to IS NULL OR t.snap_ts < w.valid_to)
+    GROUP BY 1
+    """
+
+
+def q_tag_or_list_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """osmTag(Collection<OSMTagInterface>) OR-list mixing a (key,value)
+    pair, a bare key, and a value-set (MapReducer.java:606-654):
+    building=2 OR has-name OR v in {3}."""
+    return (
+        _tag_snapshot_view(spark, sf_dir)
+        .where_any_tag([(1, 2), 4, (2, 3)])
+        .aggregate_by_timestamp()
+        .count(alias="cnt")
+    )
+
+
+def o_tag_or_list_counts() -> str:
+    from oshdb_spark.sources.versions import tag_pred_sql
+
+    pred = (
+        f"({tag_pred_sql(1, [2])} OR {tag_pred_sql(4)} OR {tag_pred_sql(2, [3])})"
+    )
+    return f"""{_validity_cte()}
+    SELECT t.snap_ts AS snap_ts, count(*) AS cnt
+    FROM w, {snapshot_ts_values_sql()}
+    WHERE w.visible AND {pred}
+      AND t.snap_ts >= w.ts AND (w.valid_to IS NULL OR t.snap_ts < w.valid_to)
+    GROUP BY 1
+    """
+
+
+def q_unknown_tag_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter on a tag key absent from the keytable: compiles to
+    ``lit(False)`` so Catalyst folds the scan away entirely
+    (MapReducer.java:469-474 — the unknown-tag scan-skip shortcut;
+    tests/test_builder.py asserts the optimized plan is scan-free) and
+    zerofill reconstitutes the timestamp universe with zero counts."""
+    return (
+        _tag_snapshot_view(spark, sf_dir)
+        .where_tag_key(99)
+        .aggregate_by_timestamp()
+        .zerofill_with(snapshot_timestamps(spark, SNAPSHOT_TS))
+        .count(alias="cnt")
+    )
+
+
+def o_unknown_tag_zero() -> str:
+    return f"""
+    SELECT t.snap_ts AS snap_ts, CAST(0 AS BIGINT) AS cnt
+    FROM {snapshot_ts_values_sql()}
+    """
+
+
+# ---------------------------------------------------------------------------
 # geodesic area (Chamberlain–Duquette) over per-entity bboxes
 # ---------------------------------------------------------------------------
 
@@ -869,8 +1008,16 @@ def q_entity_bbox_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_entity_bbox_area() -> str:
-    # closed-form expansion of the 5-vertex rect ring's spherical excess:
-    # R^2 * (lon1-lon0) * (sin lat1 - sin lat0)
+    # the SAME 5-term Chamberlain-Duquette sum as rings_area over the
+    # closed ring (SW,SE,NE,NW,SW), in the SAME accumulation order, with
+    # half-even rounding on both sides (numpy round == DuckDB round_even)
+    # — a closed-form algebraic simplification would accumulate floats in
+    # a different order and can flip values at a rounding boundary
+    t0 = "(radians(max_lon * 1e-7) - radians(min_lon * 1e-7)) * sin(radians(min_lat * 1e-7))"
+    t1 = "(radians(min_lon * 1e-7) - radians(max_lon * 1e-7)) * sin(radians(max_lat * 1e-7))"
+    t2 = t1
+    t3 = "(radians(min_lon * 1e-7) - radians(min_lon * 1e-7)) * sin(radians(min_lat * 1e-7))"
+    t4 = t0
     return f"""{_versions_cte()},
     b AS (
       SELECT entity_id,
@@ -879,11 +1026,9 @@ def o_entity_bbox_area() -> str:
       FROM {_V} WHERE visible GROUP BY 1
     )
     SELECT entity_id,
-           round(abs(
-             6371000.0 * 6371000.0
-             * (radians(max_lon * 1e-7) - radians(min_lon * 1e-7))
-             * (sin(radians(max_lat * 1e-7)) - sin(radians(min_lat * 1e-7)))
-           ) / 1e6, 3) AS area_km2
+           round_even(abs(
+             (((({t0}) + ({t1})) + ({t2})) + ({t3})) + ({t4})
+           ) * 6371000.0 * 6371000.0 / 2.0 / 1e6, 3) AS area_km2
     FROM b
     """
 
@@ -1740,13 +1885,13 @@ def o_way_vector_tiles() -> str:
           + radians(((y1 + {t1} * dy) - (y1 + {t0} * dy)) * 1e-7)
             * radians(((y1 + {t1} * dy) - (y1 + {t0} * dy)) * 1e-7)
           )
-        ELSE 0.0 END AS len_m
+        ELSE NULL END AS len_m
       FROM fanned
     )
     SELECT {WAY_TILE_ZOOM} AS zoom, tile_x, tile_y,
            count(DISTINCT way_id) AS n_ways,
            round(sum(len_m) / 1000.0, 2) AS len_km
-    FROM clipped GROUP BY 2, 3
+    FROM clipped WHERE len_m IS NOT NULL GROUP BY 2, 3
     """
 
 
@@ -1803,8 +1948,8 @@ def o_media_meta_by_type() -> str:
                 WHEN doc_id % 3 = 1 THEN 'audio/wav'
                 ELSE 'video/mp4' END AS media_type,
            count(*) AS n_media,
-           sum(least(length(text), 64)) AS total_bytes,
-           sum(CAST((doc_id % 16) + 1 AS BIGINT) * ((doc_id % 8) + 1)) AS total_px
+           CAST(sum(least(length(text), 64)) AS BIGINT) AS total_bytes,
+           CAST(sum(CAST((doc_id % 16) + 1 AS BIGINT) * ((doc_id % 8) + 1)) AS BIGINT) AS total_px
     FROM documents GROUP BY 1
     """
 
@@ -1949,24 +2094,62 @@ def o_way_aoi_clipped_length() -> str:
     """
 
 
+APPROX_Q_ACC = 10000
+# rank-tolerance band: GK eps (1/ACC) + 1 order-statistic of slack for the
+# sketch's rank convention vs linear interpolation; 1% of ranks covers
+# +/-1 rank down to n=150 groups and stays a meaningful contract at scale
+APPROX_Q_MARGIN = 0.01
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The estimatedQuantile SCALE path: approx_percentile sketch
     (Greenwald-Khanna in Spark vs the reference's t-digest,
     TDigestReducer.java:21-39 — different sketch, same contract).
-    Rows-only in the gate; the tolerance vs the exact percentile is
-    asserted in tests/test_catalog_oracles.py."""
+    Oracle-checked via the sketch's own guarantee: the exact percentiles
+    are emitted as value columns and each sketch estimate is reduced to
+    a within-rank-tolerance boolean (estimate between the exact
+    quantiles at q +/- margin) that the oracle predicts as TRUE —
+    sketch internals stay free, the contract is gated."""
     v = load_versions(spark, sf_dir)
     t = snapshot_timestamps(spark, SNAPSHOT_TS)
     snap = snapshots(v, t)
     val = F.col("lon_e7").cast("double")
-    return snap.groupBy("snap_ts").agg(
-        F.approx_percentile(val, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)).alias("q"),
-    ).select(
-        "snap_ts",
-        F.col("q")[0].alias("p25"),
-        F.col("q")[1].alias("p50"),
-        F.col("q")[2].alias("p75"),
+    m = APPROX_Q_MARGIN
+    qs = [0.25, 0.5, 0.75]
+    lo = F.array(*[F.lit(q - m) for q in qs])
+    hi = F.array(*[F.lit(q + m) for q in qs])
+    agg = snap.groupBy("snap_ts").agg(
+        F.approx_percentile(val, F.array(*[F.lit(q) for q in qs]), F.lit(APPROX_Q_ACC)).alias("a"),
+        F.percentile(val, F.array(*[F.lit(q) for q in qs])).alias("e"),
+        F.percentile(val, lo).alias("lo"),
+        F.percentile(val, hi).alias("hi"),
     )
+    out = agg.select(
+        "snap_ts",
+        *[F.round(F.col("e")[i], 6).alias(f"p{int(q * 100)}_exact") for i, q in enumerate(qs)],
+        *[
+            ((F.col("a")[i] >= F.col("lo")[i]) & (F.col("a")[i] <= F.col("hi")[i])).alias(
+                f"p{int(q * 100)}_ok"
+            )
+            for i, q in enumerate(qs)
+        ],
+    )
+    return out
+
+
+def o_approx_quantiles() -> str:
+    cols = ", ".join(
+        f"round(quantile_cont(CAST(lon_e7 AS DOUBLE), {q}), 6) AS p{int(q * 100)}_exact"
+        for q in (0.25, 0.5, 0.75)
+    )
+    oks = ", ".join(f"TRUE AS p{int(q * 100)}_ok" for q in (0.25, 0.5, 0.75))
+    return f"""{_validity_cte()}
+    SELECT t.snap_ts AS snap_ts, {cols}, {oks}
+    FROM w, {snapshot_ts_values_sql()}
+    WHERE w.visible
+      AND t.snap_ts >= w.ts AND (w.valid_to IS NULL OR t.snap_ts < w.valid_to)
+    GROUP BY 1
+    """
 
 
 def q_rollup_ts_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2125,6 +2308,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_by_entity_hist": q_group_by_entity_hist,
     "contrib_by_interval_type": q_contrib_by_interval_type,
     "tag_regex_counts": q_tag_regex_counts,
+    "tag_value_set_counts": q_tag_value_set_counts,
+    "tag_or_list_counts": q_tag_or_list_counts,
+    "unknown_tag_zero": q_unknown_tag_zero,
     "entity_bbox_area": q_entity_bbox_area,
     "docs_roundtrip_snapshot": q_docs_roundtrip_snapshot,
     "quality_buckets": q_quality_buckets,
@@ -2150,11 +2336,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_segment": q_top_orders_per_segment,
-    # rows-only checks (non-SQL-expressible: sketches / LSH / IVF kernels)
     "approx_quantiles": q_approx_quantiles,
+    "ivf_ann_top5": q_ivf_ann_top5,
+    # rows-only checks — genuinely non-SQL-expressible candidate
+    # generation: MinHash permutation minima and SimHash bit votes have
+    # no DuckDB twin; their recall/completeness contracts are pytest-
+    # asserted instead (tests/test_pipeline_ops.py)
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
-    "ivf_ann_top5": q_ivf_ann_top5,
 }
 
 ORACLES: dict[str, str] = {
@@ -2178,6 +2367,9 @@ ORACLES: dict[str, str] = {
     "group_by_entity_hist": o_group_by_entity_hist(),
     "contrib_by_interval_type": o_contrib_by_interval_type(),
     "tag_regex_counts": o_tag_regex_counts(),
+    "tag_value_set_counts": o_tag_value_set_counts(),
+    "tag_or_list_counts": o_tag_or_list_counts(),
+    "unknown_tag_zero": o_unknown_tag_zero(),
     "entity_bbox_area": o_entity_bbox_area(),
     # the docs round-trip must equal the plain versions-path snapshot:
     # that equality IS the lossless-encode/decode proof
@@ -2205,4 +2397,6 @@ ORACLES: dict[str, str] = {
     "pricing_summary": o_pricing_summary(),
     "revenue_by_nation": o_revenue_by_nation(),
     "top_orders_per_segment": o_top_orders_per_segment(),
+    "approx_quantiles": o_approx_quantiles(),
+    "ivf_ann_top5": o_ivf_ann_top5(),
 }

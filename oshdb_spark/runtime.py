@@ -237,8 +237,11 @@ class CheckpointedStage:
             part.write.mode("append").partitionBy("bucket").parquet(self.out_dir)
             # lineage metrics from the *written* files (verifies the
             # commit and avoids recomputing the stage); partition
-            # pruning on bucket= keeps this a wave-local scan
-            written_df = spark.read.parquet(self.out_dir).filter(
+            # pruning on bucket= keeps this a wave-local scan. The
+            # explicit schema keeps an all-empty wave readable (schema
+            # inference would fail on a directory with no parquet files,
+            # aborting a run that should just commit zero-row manifests)
+            written_df = spark.read.schema(part.schema).parquet(self.out_dir).filter(
                 F.col("bucket").isin(wave)
             )
             cells = (

@@ -40,7 +40,7 @@ SPAN_SCHEMA = "array<struct<kind:string,text:string,media_ref:string,offset:int>
 VERSIONS_SCHEMA = (
     "doc_id string, entity_id long, version int, ts long, changeset long, "
     "uid int, visible boolean, tag_building int, tag_v int, "
-    "lon_e7 long, lat_e7 long"
+    "lon_e7 long, lat_e7 long, tags map<int,int>"
 )
 
 
@@ -57,9 +57,14 @@ def versions_to_docs(versions: DataFrame) -> DataFrame:
         F.col("tag_v"),
         F.col("lon_e7"),
         F.col("lat_e7"),
+        F.col("tags"),
     )
+    # explicit comparator: the struct now carries the tags map, which has
+    # no default ordering — version numbers are unique per entity
     per_entity = versions.groupBy("entity_id").agg(
-        F.array_sort(F.collect_list(v)).alias("vs")
+        F.array_sort(
+            F.collect_list(v), lambda a, b: a["version"] - b["version"]
+        ).alias("vs")
     )
 
     def span(kind, text, media_ref):
@@ -82,8 +87,17 @@ def versions_to_docs(versions: DataFrame) -> DataFrame:
             ),
             empty,
         )
-        tag1 = span(F.lit("tag"), F.format_string("1=%d", x["tag_building"]), empty)
-        tag2 = span(F.lit("tag"), F.format_string("2=%d", x["tag_v"]), empty)
+        # one tag span per map entry, key-ascending (map_from_entries
+        # preserved the sorted construction order) — the reference's
+        # key-sorted dictionary-encoded tag array
+        tag_spans = F.transform(
+            F.map_entries(x["tags"]),
+            lambda e: span(
+                F.lit("tag"),
+                F.format_string("%d=%d", e["key"], e["value"]),
+                empty,
+            ),
+        )
         geom = span(
             F.lit("geom"), F.format_string("pt:%d,%d", x["lon_e7"], x["lat_e7"]), empty
         )
@@ -98,7 +112,8 @@ def versions_to_docs(versions: DataFrame) -> DataFrame:
             F.format_string("m://%d", x["version"]),
         )
         return F.filter(
-            F.array(meta, tag1, tag2, geom, text, media), lambda s: s["kind"] != ""
+            F.concat(F.array(meta), tag_spans, F.array(geom, text, media)),
+            lambda s: s["kind"] != "",
         )
 
     flat = F.flatten(F.transform(F.col("vs"), spans_of))
@@ -151,11 +166,24 @@ def docs_to_versions(docs: DataFrame) -> DataFrame:
             )
         )
 
-    def tag_field(kid: int):
-        return F.max(
-            F.when(
-                (F.col("kind") == "tag") & F.col("text").startswith(f"{kid}="),
-                F.substring_index(F.col("text"), "=", -1).cast("int"),
+    def tags_field():
+        # collect_list drops the nulls of non-tag spans; array_sort
+        # orders entries by key so the map matches the encode order
+        return F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("kind") == "tag",
+                        F.struct(
+                            F.substring_index(F.col("text"), "=", 1)
+                            .cast("int")
+                            .alias("key"),
+                            F.substring_index(F.col("text"), "=", -1)
+                            .cast("int")
+                            .alias("value"),
+                        ),
+                    )
+                )
             )
         )
 
@@ -173,11 +201,12 @@ def docs_to_versions(docs: DataFrame) -> DataFrame:
         meta_field(3, "long").alias("changeset"),
         (meta_field(5, "int") == 1).alias("visible"),
         meta_field(4, "int").alias("uid"),
-        tag_field(1).alias("tag_building"),
-        tag_field(2).alias("tag_v"),
+        tags_field().alias("tags"),
         geom_field(1).alias("lon_e7"),
         geom_field(2).alias("lat_e7"),
     )
+    # the scalar back-compat columns are definitionally derived from the
+    # map: building = presence of key 1, tag_v = value of key 2
     return out.select(
         "doc_id",
         F.substring(F.col("doc_id"), 2, 100).cast("long").alias("entity_id"),
@@ -186,10 +215,14 @@ def docs_to_versions(docs: DataFrame) -> DataFrame:
         "changeset",
         "uid",
         "visible",
-        "tag_building",
-        "tag_v",
+        F.when(F.map_contains_key(F.col("tags"), F.lit(1)), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("tag_building"),
+        F.col("tags").getItem(2).cast("int").alias("tag_v"),
         "lon_e7",
         "lat_e7",
+        "tags",
     )
 
 

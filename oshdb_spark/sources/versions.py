@@ -25,6 +25,13 @@ Derivation (seeded solely by ``event_id``/``user_id``/``ts``):
   version-dependent jitter so some transitions are geometry changes
 * ``tag_building`` (entity-stable key presence — the `building=yes`
   analog) and ``tag_v`` (version-varying value → TAG_CHANGE transitions)
+* ``tags`` — the general ``map<int,int>`` tag model (the reference's
+  dictionary-encoded key/value array, ``OSMEntity.java:13-19`` +
+  ``TagTranslator``): four keys with *conditional presence* so
+  osmTag(key) / osmTag(key, value-set) / OR-list filters have real
+  semantics to exercise. The two scalar columns stay for back-compat
+  and are definitionally consistent with the map (building = presence
+  of key 1, tag_v = value of key 2).
 """
 
 from __future__ import annotations
@@ -46,11 +53,73 @@ LAT_JITTER = 500_000  # 0.05 deg shift on event_id % 11 == 0
 # (~2024-01-01 .. 2024-01-31 in the synthetic data, any scale factor).
 SNAPSHOT_TS = [1704500000, 1705200000, 1705900000, 1706600000]
 
+# ---------------------------------------------------------------------------
+# general tag model: map<int,int> with conditional key presence
+# ---------------------------------------------------------------------------
+# The dictionary-encoded tag space (TagTranslator analog). Key ids:
+#   1 "building" — entity-stable presence (iff entity_id % 3 == 0),
+#                  value 1 + entity_id % 2 (so value-set filters bite)
+#   2 "v"        — always present, version-varying value event_id % 5
+#   3 "highway"  — present iff entity_id % 4 == 1, value 10 + event_id % 3
+#   4 "name"     — present iff event_id % 2 == 0, value event_id % 13
+# Spark and SQL mirrors are generated from these rules — change both
+# derive_versions and the *_SQL dicts together (CLAUDE.md invariant).
+KNOWN_TAG_KEYS = frozenset({1, 2, 3, 4})
+
+TAG_PRESENT_SQL = {
+    1: "(entity_id % 3 = 0)",
+    2: "TRUE",
+    3: "(entity_id % 4 = 1)",
+    4: "(event_id % 2 = 0)",
+}
+TAG_VALUE_SQL = {
+    1: "(1 + entity_id % 2)",
+    2: "(event_id % 5)",
+    3: "(10 + event_id % 3)",
+    4: "(event_id % 13)",
+}
+
+
+def tag_pred_sql(key: int, values: list[int] | None = None) -> str:
+    """Oracle-side predicate for osmTag(key) / osmTag(key, value-set),
+    over a relation carrying entity_id/event_id (the versions CTE).
+    Unknown keys are FALSE — the reference's unknown-tag shortcut
+    (MapReducer.java:469-474)."""
+    if key not in KNOWN_TAG_KEYS:
+        return "FALSE"
+    pres = TAG_PRESENT_SQL[key]
+    if values is None:
+        return pres
+    in_list = ", ".join(str(v) for v in values)
+    return f"({pres} AND {TAG_VALUE_SQL[key]} IN ({in_list}))"
+
 
 def load_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """versions(entity_id, version, ts, changeset, uid, visible,
     lon_e7, lat_e7, tag_building, tag_v) derived from events.parquet."""
     return derive_versions(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _tags_map_col(eid, entity) -> F.Column:
+    """The tags map<int,int> column — Spark mirror of TAG_PRESENT_SQL /
+    TAG_VALUE_SQL (pure Column exprs; entries for absent keys are null
+    structs dropped by the filter, so keys stay ascending)."""
+
+    def entry(k: int, present, value):
+        return F.when(
+            present,
+            F.struct(
+                F.lit(k).cast("int").alias("key"), value.cast("int").alias("value")
+            ),
+        )
+
+    entries = F.array(
+        entry(1, entity % 3 == 0, F.lit(1) + entity % 2),
+        entry(2, F.lit(True), eid % 5),
+        entry(3, entity % 4 == 1, F.lit(10) + eid % 3),
+        entry(4, eid % 2 == 0, eid % 13),
+    )
+    return F.map_from_entries(F.filter(entries, lambda e: e.isNotNull()))
 
 
 def derive_versions(ev: DataFrame, entity_mod: int = ENTITY_MOD) -> DataFrame:
@@ -81,6 +150,7 @@ def derive_versions(ev: DataFrame, entity_mod: int = ENTITY_MOD) -> DataFrame:
         ).alias("lat_e7"),
         F.when((eid % entity_mod) % 3 == 0, 1).otherwise(0).alias("tag_building"),
         (eid % 5).cast("int").alias("tag_v"),
+        _tags_map_col(eid, eid % entity_mod).alias("tags"),
     )
     w = Window.partitionBy("entity_id").orderBy("ts", "event_id")
     # version AND valid_to in one window pass: lead(ts) over the same

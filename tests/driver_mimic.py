@@ -53,6 +53,12 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
         return f"SCHEMA MISMATCH: spark={list(a.columns)} duck={list(b.columns)}"
     if len(a) != len(b):
         return f"ROWCOUNT MISMATCH: spark={len(a)} duck={len(b)}"
+    # The driver's value hash is exact: an int64 1234 vs a float64 1234.0
+    # (DuckDB HUGEINT -> pandas float) breaks it even when values agree.
+    for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if ka != kb and {ka, kb} <= {"i", "u", "f"} and "f" in {ka, kb}:
+            return f"DTYPE MISMATCH: col={c} spark={a[c].dtype} duck={b[c].dtype}"
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=1e-9)
     except AssertionError as e:

@@ -117,3 +117,70 @@ def test_fluent_generic_reduce_and_map(spark, sf_dir):
         .collect()
     )
     assert len(got) == 1 and got[0]["s"] > 0 and got[0]["m"] <= 8
+
+
+def test_tag_value_set_equals_manual_predicate(spark, sf_dir):
+    """where_tag_in == the hand-written map predicate (value-set filter,
+    MapReducer.java:526-560)."""
+    from oshdb_spark.sources.versions import KNOWN_TAG_KEYS
+
+    v = load_versions(spark, sf_dir)
+    got = (
+        SnapshotView.on(v)
+        .timestamps(SNAPSHOT_TS)
+        .with_keytable(KNOWN_TAG_KEYS)
+        .where_tag_in(3, [10, 11])
+        .aggregate_by_timestamp()
+        .count()
+    )
+    manual = (
+        SnapshotView.on(v)
+        .timestamps(SNAPSHOT_TS)
+        .where(F.col("tags").getItem(3).isin([10, 11]))
+        .aggregate_by_timestamp()
+        .count()
+    )
+    assert _as_dict(got, "snap_ts", "cnt") == _as_dict(manual, "snap_ts", "cnt")
+
+
+def test_or_list_equals_union_of_single_filters(spark, sf_dir):
+    """where_any_tag == distinct union of the individual filters
+    (MapReducer.java:606-654 OR semantics)."""
+    from oshdb_spark.sources.versions import KNOWN_TAG_KEYS
+
+    v = load_versions(spark, sf_dir)
+    base = SnapshotView.on(v).timestamps(SNAPSHOT_TS).with_keytable(KNOWN_TAG_KEYS)
+    got = (
+        base.where_any_tag([(1, 2), 4])
+        .aggregate_by_timestamp()
+        .count()
+    )
+    a = base.where_tag_in(1, [2]).dataframe().select("entity_id", "snap_ts")
+    b = base.where_tag_key(4).dataframe().select("entity_id", "snap_ts")
+    manual = (
+        a.unionByName(b)
+        .distinct()
+        .groupBy("snap_ts")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert _as_dict(got, "snap_ts", "cnt") == _as_dict(manual, "snap_ts", "cnt")
+
+
+def test_unknown_tag_key_folds_to_empty_scan(spark, sf_dir):
+    """Filter on a key outside the keytable -> lit(False) -> Catalyst
+    folds the whole subtree to an empty LocalRelation: no file scan in
+    the optimized plan (MapReducer.java:469-474 scan-skip analog)."""
+    from oshdb_spark.sources.versions import KNOWN_TAG_KEYS
+
+    v = load_versions(spark, sf_dir)
+    df = (
+        SnapshotView.on(v)
+        .timestamps(SNAPSHOT_TS)
+        .with_keytable(KNOWN_TAG_KEYS)
+        .where_tag_key(99)
+        .dataframe()
+    )
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation <empty>" in optimized
+    assert "parquet" not in optimized.lower()
+    assert df.count() == 0

@@ -14,7 +14,7 @@ from oshdb_spark.sources.versions import load_versions
 
 VCOLS = [
     "entity_id", "version", "ts", "changeset", "uid", "visible",
-    "tag_building", "tag_v", "lon_e7", "lat_e7",
+    "tag_building", "tag_v", "lon_e7", "lat_e7", "tags",
 ]
 
 

@@ -129,6 +129,34 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.4, recall  # nprobe=2 of 8 lists; scale path tunes nprobe
 
 
+def test_ivf_trained_centroids_recall_at_least_fixture(spark, sf_dir):
+    """k-means-trained IVF lists (the production path) must reach at
+    least the recall of the deterministic first-8 fixture centroids."""
+    from oshdb_spark.operators.similarity import cosine_topk, ivf_topk, train_kmeans
+    from oshdb_spark.queries import _ann_queries
+
+    emb, queries = _ann_queries(spark, sf_dir)
+    exact = cosine_topk(emb, queries, k=5).select("q_id", "nbr_id").toPandas()
+    ex = set(map(tuple, exact.values))
+
+    def recall(cents):
+        ap = ivf_topk(emb, queries, cents, k=5, nprobe=2).select("q_id", "nbr_id").toPandas()
+        return len(ex & set(map(tuple, ap.values))) / len(ex)
+
+    first8 = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    ]
+    trained = train_kmeans(emb, k=8, sample=512, iters=8)
+    assert len(trained) == 8
+    r_trained, r_first8 = recall(trained), recall(first8)
+    assert r_trained >= r_first8, (r_trained, r_first8)
+
+    # determinism: training twice gives identical centroids (resume-safe)
+    trained2 = train_kmeans(emb, k=8, sample=512, iters=8)
+    assert trained == trained2
+
+
 def test_media_feature_extraction_shape(spark, docs):
     from oshdb_spark.operators.media import extract_features, synth_media
 
