@@ -32,10 +32,10 @@ from pyspark.sql import functions as F
 CONTRIB_ORDER = ["CREATION", "TAG_CHANGE", "GEOMETRY_CHANGE", "DELETION"]
 
 
-def collapse_changesets(versions: DataFrame) -> DataFrame:
+def collapse_changesets(versions: DataFrame, entity_col: str = "entity_id") -> DataFrame:
     """Keep only the last version of each (entity, changeset) group —
     the changeset-collapsing rule (``OSHEntities.java:240-267``)."""
-    w = Window.partitionBy("entity_id", "changeset").orderBy(F.col("version").desc())
+    w = Window.partitionBy(entity_col, "changeset").orderBy(F.col("version").desc())
     return (
         versions.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -43,10 +43,24 @@ def collapse_changesets(versions: DataFrame) -> DataFrame:
     )
 
 
+def _canon(versions: DataFrame, col: str) -> Column:
+    """Comparable form of a column: map columns become key-sorted entry
+    arrays (Spark has no map equality; entry arrays of our maps are
+    key-ascending by construction, so array equality IS map equality)."""
+    from pyspark.sql.types import MapType
+
+    if isinstance(versions.schema[col].dataType, MapType):
+        return F.array_sort(F.map_entries(F.col(col)))
+    return F.col(col)
+
+
 def contributions(
     versions: DataFrame,
     predicate: Column | None = None,
     collapse: bool = True,
+    entity_col: str = "entity_id",
+    tag_cols: tuple[str, ...] | None = None,
+    geom_cols: tuple[str, ...] = ("lon_e7", "lat_e7"),
 ) -> DataFrame:
     """One row per contribution with a canonical ``contrib_type`` string.
 
@@ -54,31 +68,41 @@ def contributions(
     'GEOMETRY_CHANGE', 'TAG_CHANGE,GEOMETRY_CHANGE' (both), or 'OTHER'
     (metadata-only change, the reference's empty type set). Rows where
     the entity is not effectively present on either side are dropped.
+
+    One operator serves every entity shape: node versions (scalar
+    coords + tags), way versions (coordinate ARRAYS, no tags — pass
+    ``geom_cols=("lon_arr","lat_arr"), tag_cols=()``), or any custom
+    schema, including ``tag_cols=("tags",)`` to diff the full tags map
+    (map columns are canonicalized to key-sorted entry arrays; Spark has
+    no map equality). The default diffs the scalar pair — the fixture's
+    documented TAG_CHANGE signal (sources/versions.py).
     """
     v = versions
     if collapse:
-        v = collapse_changesets(v)
+        v = collapse_changesets(v, entity_col)
+    if tag_cols is None:
+        tag_cols = ("tag_building", "tag_v")
     match = predicate if predicate is not None else F.lit(True)
     v = v.withColumn("_match", F.col("visible") & match)
 
-    w = Window.partitionBy("entity_id").orderBy("version")
-    v = (
-        v.withColumn("prev_match", F.lag("_match").over(w))
-        .withColumn("prev_lon", F.lag("lon_e7").over(w))
-        .withColumn("prev_lat", F.lag("lat_e7").over(w))
-        .withColumn("prev_tag_building", F.lag("tag_building").over(w))
-        .withColumn("prev_tag_v", F.lag("tag_v").over(w))
-        .withColumn("prev_uid", F.lag("uid").over(w))
-    )
+    diff_cols = list(tag_cols) + list(geom_cols)
+    w = Window.partitionBy(entity_col).orderBy("version")
+    v = v.withColumn("prev_match", F.lag("_match").over(w))
+    for c in diff_cols:
+        v = v.withColumn(f"_prev_{c}", F.lag(_canon(versions, c)).over(w))
+    if "uid" in v.columns:
+        v = v.withColumn("prev_uid", F.lag("uid").over(w))
+
+    def changed(cols) -> Column:
+        out = F.lit(False)
+        for c in cols:
+            out = out | (_canon(versions, c) != F.col(f"_prev_{c}"))
+        return out
 
     curr = F.col("_match")
     prev = F.coalesce(F.col("prev_match"), F.lit(False))
-    geom_changed = (F.col("lon_e7") != F.col("prev_lon")) | (
-        F.col("lat_e7") != F.col("prev_lat")
-    )
-    tags_changed = (F.col("tag_building") != F.col("prev_tag_building")) | (
-        F.col("tag_v") != F.col("prev_tag_v")
-    )
+    geom_changed = changed(geom_cols)
+    tags_changed = changed(tag_cols)
 
     ctype = (
         F.when(curr & ~prev, F.lit("CREATION"))
@@ -96,5 +120,5 @@ def contributions(
     return (
         v.withColumn("contrib_type", ctype)
         .filter(F.col("contrib_type").isNotNull())
-        .drop("_match")
+        .drop("_match", *[f"_prev_{c}" for c in diff_cols])
     )

@@ -416,6 +416,81 @@ def bbox_filter_col(bbox: tuple[int, int, int, int], lon="lon_e7", lat="lat_e7")
 # aggregateByGeometry: 1->N sub-region overlay
 # ---------------------------------------------------------------------------
 
+def aggregate_by_polygon_regions(
+    df: DataFrame,
+    regions: dict[str, tuple[list[int], list[int]]],
+    zoom: int = 6,
+    lon: str = "lon_e7",
+    lat: str = "lat_e7",
+) -> DataFrame:
+    """aggregateByGeometry over ARBITRARY polygon sub-regions
+    (``GeometrySplitter.java:80-203`` for point features): each row is
+    replicated into every polygon region containing it, tagged with
+    ``region_key``.
+
+    Scale shape — the FastPolygonOperations pre-grid analog
+    (``FastPolygonOperations.java:26-160``): every region's 3-way cell
+    cover is computed once driver-side and broadcast as a literal
+    (cell, region, is_boundary) candidates relation. Containment then
+    costs one broadcast equi-join on the cell id (rows in no region's
+    cover are dropped by the join — the partition-prune analog);
+    inside-cell candidates are accepted with zero Python, and only
+    boundary-cell candidates pay one Arrow kernel that ray-casts each
+    batch against its region's polygon (grouped per region inside the
+    batch). The two branches are a union, not a CASE — Catalyst
+    extracts pandas UDFs out of CASE guards, a union is the only way to
+    keep inside rows out of Python (see CLAUDE.md)."""
+    names = list(regions)
+    polys = [
+        (
+            np.asarray(regions[n][0], dtype=np.float64),
+            np.asarray(regions[n][1], dtype=np.float64),
+        )
+        for n in names
+    ]
+    cand_rows: list[tuple[int, int, bool]] = []
+    for i, (px_, py_) in enumerate(polys):
+        cover = polygon_cover(px_, py_, zoom)
+        cand_rows += [(c, i, False) for c in sorted(cover[INSIDE])]
+        cand_rows += [(c, i, True) for c in sorted(cover[BOUNDARY])]
+
+    @pandas_udf("boolean")
+    def _pip_multi(lon_s: pd.Series, lat_s: pd.Series, idx_s: pd.Series) -> pd.Series:
+        xs = lon_s.to_numpy()
+        ys = lat_s.to_numpy()
+        idx = idx_s.to_numpy()
+        out = np.zeros(len(xs), dtype=bool)
+        for i in np.unique(idx):
+            m = idx == i
+            out[m] = pip_mask(xs[m], ys[m], polys[i][0], polys[i][1])
+        return pd.Series(out)
+
+    spark = df.sparkSession
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("_cell"),
+                F.lit(i).alias("_ridx"),
+                F.lit(b).alias("_bnd"),
+            )
+            for c, i, b in cand_rows
+        ]
+    )
+    cand = spark.range(1).select(F.explode(entries).alias("e")).select("e.*")
+    base = df.withColumn("_cell", cell_id_col(zoom, F.col(lon), F.col(lat)))
+    joined = base.join(F.broadcast(cand), "_cell")
+    inside_part = joined.filter(~F.col("_bnd"))
+    boundary_part = joined.filter(F.col("_bnd")).filter(
+        _pip_multi(F.col(lon), F.col(lat), F.col("_ridx"))
+    )
+    name_arr = F.array(*[F.lit(n) for n in names])
+    return (
+        inside_part.unionByName(boundary_part)
+        .withColumn("region_key", F.element_at(name_arr, F.col("_ridx") + 1))
+        .drop("_cell", "_ridx", "_bnd")
+    )
+
+
 def aggregate_by_rect_regions(
     df: DataFrame, regions: dict[str, tuple[int, int, int, int]]
 ) -> DataFrame:

@@ -455,6 +455,63 @@ def o_agg_by_region() -> str:
     """
 
 
+D_CX, D_CY, D_R = DIAMOND_CX, DIAMOND_CY, DIAMOND_R
+POLY_REGIONS: dict[str, tuple[list[int], list[int]]] = {
+    # the full diamond plus its two halves (additivity: west + east ==
+    # diamond) and a null-island micro-triangle (zerofill path)
+    "diamond": (DIAMOND_LON, DIAMOND_LAT),
+    "west": ([D_CX - D_R, D_CX, D_CX], [D_CY, D_CY + D_R, D_CY - D_R]),
+    "east": ([D_CX, D_CX + D_R, D_CX], [D_CY + D_R, D_CY, D_CY - D_R]),
+    "null_tri": ([0, 2_000_000, 0], [0, 0, 2_000_000]),
+}
+
+
+def q_agg_by_polygon_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregateByGeometry with ARBITRARY polygon sub-regions (the
+    GeometrySplitter.java:80-203 parity gap closed beyond rectangles):
+    snapshot rows replicated into each containing polygon via the
+    pre-gridded candidates join + per-region PIP kernel, counted,
+    zerofilled. Additivity (west + east == diamond) rides the same
+    result; tests/test_spatial.py asserts it explicitly."""
+    from oshdb_spark.operators.spatial import aggregate_by_polygon_regions
+
+    snap = _snapshot_at(spark, sf_dir, TILE_TS)
+    split = aggregate_by_polygon_regions(snap, POLY_REGIONS, zoom=6)
+    grouped = split.groupBy("region_key").agg(F.count(F.lit(1)).alias("cnt"))
+    universe = lit_df(spark, "region_key", list(POLY_REGIONS), "string")
+    return zerofill(grouped, [universe], {"cnt": 0}).select(
+        "region_key", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+def o_agg_by_polygon_region() -> str:
+    # strict half-plane forms of the convex regions (the ray-casting
+    # half-open rule and these strict inequalities agree everywhere off
+    # the edge lattice; the fixture has no on-edge points, FIXTURES §3.7)
+    dia = f"abs(lon_e7 - {D_CX}) + abs(lat_e7 - {D_CY}) < {D_R}"
+    preds = {
+        "diamond": dia,
+        "west": f"{dia} AND lon_e7 < {D_CX}",
+        "east": f"{dia} AND lon_e7 > {D_CX}",
+        "null_tri": "lon_e7 > 0 AND lat_e7 > 0 AND lon_e7 + lat_e7 < 2000000",
+    }
+    per_region = " UNION ALL ".join(
+        f"SELECT '{name}' AS region_key, count(*) AS cnt FROM snap WHERE {p}"
+        for name, p in preds.items()
+    )
+    keys = ", ".join(f"('{k}')" for k in preds)
+    return f"""{_validity_cte()},
+    snap AS (
+      SELECT * FROM w
+      WHERE w.visible AND {TILE_TS} >= w.ts AND (w.valid_to IS NULL OR {TILE_TS} < w.valid_to)
+    ),
+    g AS ({per_region})
+    SELECT r.region_key, coalesce(g.cnt, 0) AS cnt
+    FROM (VALUES {keys}) r(region_key)
+    LEFT JOIN g USING (region_key)
+    """
+
+
 def q_traj_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity modification-trajectory length (meters) with the
     reference's exact equirectangular formula (Geo.java:37-44), computed
@@ -1685,38 +1742,262 @@ def o_way_poly_area_with_hole() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# TagInterpreter: polygon-vs-line decision from tag rules + ring closure
+# ---------------------------------------------------------------------------
+
+def q_way_kind_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TagInterpreter parity (BaseTagInterpreter.java:48-158 +
+    OSHDBGeometryBuilder.java:66-139): the polygon-vs-line decision is
+    made by RULES over the tags map and the actual ring closure — area=no
+    forces line even on closed building rings, area=yes forces polygon,
+    otherwise the area-tag dictionary (building) decides; open ways are
+    always lines. The measure follows the kind: geodesic ring area for
+    polygons, equirectangular length for lines — all pure Column
+    expressions (transform + aggregate folds), zero Python."""
+    from oshdb_spark.functions.taginterpreter import way_geom_kind_col
+    from oshdb_spark.sources.ways import derive_ways, with_way_tags
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    asof = derive_ways(ev).filter(
+        F.col("visible")
+        & (F.lit(TILE_TS) >= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.lit(TILE_TS) < F.col("valid_to")))
+    )
+    w = with_way_tags(asof)
+    lon_arr, lat_arr = F.col("lon_arr"), F.col("lat_arr")
+    kind = way_geom_kind_col(F.col("tags"), lon_arr, lat_arr)
+    n = F.size(lon_arr)
+
+    def LO(i):
+        return F.element_at(lon_arr, i + 1).cast("double")
+
+    def LA(i):
+        return F.element_at(lat_arr, i + 1).cast("double")
+
+    def seg_term(j):
+        dlng = F.radians((LO(j + 1) - LO(j)) * 1e-7) * F.cos(
+            F.radians(((LA(j + 1) + LA(j)) * 1e-7) / 2.0)
+        )
+        dlat = F.radians((LA(j + 1) - LA(j)) * 1e-7)
+        return F.lit(6371000.0) * F.sqrt(dlng * dlng + dlat * dlat)
+
+    length = F.aggregate(
+        F.transform(F.sequence(F.lit(0), n - 2), seg_term),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+
+    def cd_term(i):
+        x3 = F.radians(LO(F.pmod(i + 2, n)) * 1e-7)
+        x1 = F.radians(LO(i) * 1e-7)
+        y2 = F.radians(LA(F.pmod(i + 1, n)) * 1e-7)
+        return (x3 - x1) * F.sin(y2)
+
+    area = F.abs(
+        F.aggregate(
+            F.transform(F.sequence(F.lit(0), n - 1), cd_term),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        )
+        * 6371000.0
+        * 6371000.0
+        / 2.0
+    )
+    measure = F.when(kind == "polygon", F.round(area / 1e6, 4)).otherwise(
+        F.round(length, 4)
+    )
+    return w.select("way_id", kind.alias("kind"), measure.alias("measure"))
+
+
+def o_way_kind_measures() -> str:
+    from oshdb_spark.sources.ways import (
+        WAY_AREA_MOD,
+        WAY_AREA_YES_MOD,
+        WAY_BUILDING_MOD,
+        WAY_CLOSED_MOD,
+        lat_sql,
+        lon_sql,
+    )
+
+    kind = (
+        f"CASE WHEN way_id % {WAY_CLOSED_MOD} = 0 AND "
+        f"(CASE WHEN way_id % {WAY_AREA_MOD} = 0 THEN way_id % {WAY_AREA_YES_MOD} = 0 "
+        f"ELSE way_id % {WAY_BUILDING_MOD} = 0 END) THEN 'polygon' ELSE 'line' END"
+    )
+
+    def seg(a, b):
+        dlng = (
+            f"radians(({lon_sql(b)} - {lon_sql(a)}) * 1e-7)"
+            f" * cos(radians((({lat_sql(b)} + {lat_sql(a)}) * 1e-7) / 2.0))"
+        )
+        dlat = f"radians(({lat_sql(b)} - {lat_sql(a)}) * 1e-7)"
+        return f"6371000.0 * sqrt(({dlng}) * ({dlng}) + ({dlat}) * ({dlat}))"
+
+    len_open = " + ".join(seg(j, j + 1) for j in range(4))
+    len_closed = len_open + " + " + seg(4, 0)
+    ring = [0, 1, 2, 3, 4, 0]
+    cd = " + ".join(
+        f"(radians({lon_sql(ring[(i + 2) % 6])} * 1e-7) - radians({lon_sql(ring[i])} * 1e-7))"
+        f" * sin(radians({lat_sql(ring[(i + 1) % 6])} * 1e-7))"
+        for i in range(6)
+    )
+    return f"""{_ways_oracle_asof_cte()}
+    SELECT way_id, {kind} AS kind,
+           CASE WHEN ({kind}) = 'polygon'
+                THEN round(abs(({cd}) * 6371000.0 * 6371000.0 / 2.0) / 1e6, 4)
+                WHEN way_id % {WAY_CLOSED_MOD} = 0 THEN round({len_closed}, 4)
+                ELSE round({len_open}, 4) END AS measure
+    FROM ao
+    """
+
+
+# ---------------------------------------------------------------------------
+# relation entities: multipolygon ring assembly (outer shells + holes)
+# ---------------------------------------------------------------------------
+
+def q_relation_mp_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation -> multipolygon: member arcs as-of TILE_TS are chained
+    into closed rings by endpoint matching (reversing backwards-stored
+    arcs — OSHDBGeometryBuilder.java:188-370 semantics), shells are
+    separated from holes, and the hole-aware Chamberlain-Duquette area
+    is |outer shells| - |inner rings|. Relations with rel_id % 3 == 0
+    carry TWO disjoint shells, so assembly must partition arcs into
+    rings, not merely order them. The oracle expands the expected area
+    symbolically from the same corner arithmetic."""
+    from oshdb_spark.operators.relations import (
+        assemble_multipolygons,
+        collect_member_arcs,
+    )
+    from oshdb_spark.sources.relations import derive_relation_members
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = derive_relation_members(ev).filter(
+        F.col("visible")
+        & (F.lit(TILE_TS) >= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.lit(TILE_TS) < F.col("valid_to")))
+    )
+    mp = assemble_multipolygons(collect_member_arcs(m))
+    return mp.select(
+        "rel_id",
+        F.col("mp.n_outer").alias("n_outer"),
+        F.col("mp.n_inner").alias("n_inner"),
+        F.round(F.col("mp.area_m2") / 1e6, 4).alias("area_km2"),
+    )
+
+
+def o_relation_mp_area() -> str:
+    from oshdb_spark.sources.relations import SECOND_SHELL_MOD, relations_sql
+
+    def cd_rect(x0, y0, x1, y1):
+        # the same 5-term C-D sum the kernel accumulates left-to-right
+        # over the closed ring (SW,SE,NE,NW,SW)
+        t0 = f"(radians(({x1}) * 1e-7) - radians(({x0}) * 1e-7)) * sin(radians(({y0}) * 1e-7))"
+        t1 = f"(radians(({x0}) * 1e-7) - radians(({x1}) * 1e-7)) * sin(radians(({y1}) * 1e-7))"
+        t3 = f"(radians(({x0}) * 1e-7) - radians(({x0}) * 1e-7)) * sin(radians(({y0}) * 1e-7))"
+        return (
+            f"abs(({t0} + {t1} + {t1} + {t3} + {t0}) * 6371000.0 * 6371000.0 / 2.0)"
+        )
+
+    shell1 = cd_rect("x0", "y0", "x0 + rw", "y0 + rh")
+    shell2 = cd_rect("x0 + 2 * rw", "y0", "x0 + 3 * rw", "y0 + rh")
+    # quarter insets are exact integers (extents are multiples of 4);
+    # DuckDB // truncation is safe here because rw/rh are positive
+    inner = cd_rect(
+        "x0 + rw // 4", "y0 + rh // 4", "x0 + (rw // 4) * 3", "y0 + (rh // 4) * 3"
+    )
+    return f"""WITH r AS ({relations_sql()}),
+    ao AS (
+      SELECT * FROM r
+      WHERE visible AND {TILE_TS} >= ts AND (valid_to IS NULL OR {TILE_TS} < valid_to)
+    )
+    SELECT rel_id,
+           CAST(CASE WHEN rel_id % {SECOND_SHELL_MOD} = 0 THEN 2 ELSE 1 END AS INT) AS n_outer,
+           CAST(1 AS INT) AS n_inner,
+           round((({shell1} + CASE WHEN rel_id % {SECOND_SHELL_MOD} = 0
+                                   THEN {shell2} ELSE 0.0 END)
+                  - {inner}) / 1e6, 4) AS area_km2
+    FROM ao
+    """
+
+
+def q_relation_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hole-aware point-in-multipolygon over assembled relations: one
+    probe inside the shell band (between outer ring and hole -> TRUE)
+    and one at the centroid (inside the hole -> FALSE), both computed by
+    even-odd ray casting over ALL assembled rings — the parity rule
+    makes holes fall out with no outer/inner classification
+    (FastPointInPolygon + inner-ring subtraction semantics). The oracle
+    predicts the booleans from the fixture geometry."""
+    from oshdb_spark.operators.relations import (
+        assemble_multipolygons,
+        collect_member_arcs,
+        multipolygon_contains,
+    )
+    from oshdb_spark.sources.relations import (
+        H_BASE,
+        H_STEP,
+        LAT_A,
+        LAT_OFF,
+        LAT_SPAN,
+        LON_A,
+        LON_OFF,
+        LON_SPAN,
+        W_BASE,
+        W_STEP,
+        derive_relation_members,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = derive_relation_members(ev).filter(
+        F.col("visible")
+        & (F.lit(TILE_TS) >= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.lit(TILE_TS) < F.col("valid_to")))
+    )
+    mp = assemble_multipolygons(collect_member_arcs(m))
+    x0 = (F.col("rel_id") * LON_A % LON_SPAN - LON_OFF).cast("long")
+    y0 = (F.col("rel_id") * LAT_A % LAT_SPAN - LAT_OFF).cast("long")
+    # eighth/half extents stay integers (base/step are multiples of 8/2)
+    rw8 = (F.lit(W_BASE // 8) + (F.col("version") % 5) * (W_STEP // 8)).cast("long")
+    rh2 = (F.lit(H_BASE // 2) + (F.col("version") % 3) * (H_STEP // 2)).cast("long")
+    rw2 = (F.lit(W_BASE // 2) + (F.col("version") % 5) * (W_STEP // 2)).cast("long")
+    probed = multipolygon_contains(mp, x0 + rw8, y0 + rh2, out_col="in_ring")
+    probed = multipolygon_contains(probed, x0 + rw2, y0 + rh2, out_col="in_hole")
+    return probed.select("rel_id", "in_ring", "in_hole")
+
+
+def o_relation_pip() -> str:
+    from oshdb_spark.sources.relations import relations_sql
+
+    return f"""WITH r AS ({relations_sql()}),
+    ao AS (
+      SELECT * FROM r
+      WHERE visible AND {TILE_TS} >= ts AND (valid_to IS NULL OR {TILE_TS} < valid_to)
+    )
+    SELECT rel_id, TRUE AS in_ring, FALSE AS in_hole FROM ao
+    """
+
+
 def q_way_contrib_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contribution view over way geometries: lag over the coordinate
-    ARRAYS classifies GEOMETRY_CHANGE when any vertex moved (the
-    child-node-induced way modification of the reference,
-    OSHEntities.java:315-393, pre-materialized per version)."""
+    """Contribution view over way geometries through the SAME
+    ``contributions()`` operator as nodes (parameterized entity/geom
+    columns): lag over the coordinate ARRAYS classifies GEOMETRY_CHANGE
+    when any vertex moved (the child-node-induced way modification of
+    the reference, OSHEntities.java:315-393, pre-materialized per
+    version). Ways have no changeset/tags -> collapse off, tag_cols
+    empty."""
     from oshdb_spark.sources.ways import derive_ways
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ways = derive_ways(ev)
-    w = Window.partitionBy("way_id").orderBy("version")
-    lagged = (
-        ways.withColumn("prev_visible", F.lag("visible").over(w))
-        .withColumn("prev_lon_arr", F.lag("lon_arr").over(w))
-        .withColumn("prev_lat_arr", F.lag("lat_arr").over(w))
+    c = contributions(
+        ways,
+        collapse=False,
+        entity_col="way_id",
+        tag_cols=(),
+        geom_cols=("lon_arr", "lat_arr"),
     )
-    curr = F.col("visible")
-    prev = F.coalesce(F.col("prev_visible"), F.lit(False))
-    geom_changed = (F.col("lon_arr") != F.col("prev_lon_arr")) | (
-        F.col("lat_arr") != F.col("prev_lat_arr")
-    )
-    ctype = (
-        F.when(curr & ~prev, F.lit("CREATION"))
-        .when(~curr & prev, F.lit("DELETION"))
-        .when(curr & prev & geom_changed, F.lit("GEOMETRY_CHANGE"))
-        .when(curr & prev, F.lit("OTHER"))
-    )
-    return (
-        lagged.withColumn("contrib_type", ctype)
-        .filter(F.col("contrib_type").isNotNull())
-        .groupBy("contrib_type")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    return c.groupBy("contrib_type").agg(F.count(F.lit(1)).alias("cnt"))
 
 
 def o_way_contrib_counts() -> str:
@@ -2298,6 +2579,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_k5": q_knn_k5,
     "pip_diamond_counts": q_pip_diamond_counts,
     "agg_by_region": q_agg_by_region,
+    "agg_by_polygon_region": q_agg_by_polygon_region,
     "traj_length": q_traj_length,
     "token_stats_by_source": q_token_stats_by_source,
     "lang_pred_counts": q_lang_pred_counts,
@@ -2333,6 +2615,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "way_aoi_clipped_length": q_way_aoi_clipped_length,
     "way_poly_area_with_hole": q_way_poly_area_with_hole,
+    "relation_mp_area": q_relation_mp_area,
+    "relation_pip": q_relation_pip,
+    "way_kind_measures": q_way_kind_measures,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_segment": q_top_orders_per_segment,
@@ -2357,6 +2642,7 @@ ORACLES: dict[str, str] = {
     "knn_k5": o_knn_k5(),
     "pip_diamond_counts": o_pip_diamond_counts(),
     "agg_by_region": o_agg_by_region(),
+    "agg_by_polygon_region": o_agg_by_polygon_region(),
     "traj_length": o_traj_length(),
     "token_stats_by_source": o_token_stats_by_source(),
     "lang_pred_counts": o_lang_pred_counts(),
@@ -2394,6 +2680,9 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": o_dedup_clusters(),
     "way_aoi_clipped_length": o_way_aoi_clipped_length(),
     "way_poly_area_with_hole": o_way_poly_area_with_hole(),
+    "relation_mp_area": o_relation_mp_area(),
+    "relation_pip": o_relation_pip(),
+    "way_kind_measures": o_way_kind_measures(),
     "pricing_summary": o_pricing_summary(),
     "revenue_by_nation": o_revenue_by_nation(),
     "top_orders_per_segment": o_top_orders_per_segment(),

@@ -64,7 +64,20 @@ def versions_to_docs(versions: DataFrame) -> DataFrame:
     per_entity = versions.groupBy("entity_id").agg(
         F.array_sort(
             F.collect_list(v), lambda a, b: a["version"] - b["version"]
-        ).alias("vs")
+        ).alias("vs"),
+        # doc-level pre-filter summaries (the OSH-header analog,
+        # CellIterator.java:199-207 / SURVEY §4#3): the union of tag
+        # keys and the coordinate bbox across ALL versions. A tag/bbox
+        # query filters docs on these columns BEFORE the span explode +
+        # version window — at 100 TB they ride parquet column stats, so
+        # whole row groups skip without decoding a single span.
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list(F.map_keys(F.col("tags")))))
+        ).alias("tag_keys"),
+        F.min("lon_e7").alias("min_lon"),
+        F.min("lat_e7").alias("min_lat"),
+        F.max("lon_e7").alias("max_lon"),
+        F.max("lat_e7").alias("max_lat"),
     )
 
     def span(kind, text, media_ref):
@@ -129,7 +142,35 @@ def versions_to_docs(versions: DataFrame) -> DataFrame:
     return per_entity.select(
         F.concat(F.lit("d"), F.col("entity_id").cast("string")).alias("doc_id"),
         with_offsets.alias("spans"),
+        "tag_keys",
+        "min_lon",
+        "min_lat",
+        "max_lon",
+        "max_lat",
     )
+
+
+def prefilter_docs(
+    docs: DataFrame,
+    tag_key: int | None = None,
+    bbox: tuple[int, int, int, int] | None = None,
+) -> DataFrame:
+    """Conservative doc-level pre-filter on the summary columns: keeps
+    every doc that COULD match (any version has the key / bbox
+    intersects), so the exact per-version filter after decode sees
+    strictly fewer rows and never loses one — the OSH pre-filter chain
+    (``CellIterator.java:199-207``). No-op for docs lacking the summary
+    columns (raw span tables)."""
+    if tag_key is not None and "tag_keys" in docs.columns:
+        docs = docs.filter(F.array_contains(F.col("tag_keys"), F.lit(tag_key)))
+    if bbox is not None and "min_lon" in docs.columns:
+        docs = docs.filter(
+            (F.col("max_lon") >= bbox[0])
+            & (F.col("min_lon") <= bbox[2])
+            & (F.col("max_lat") >= bbox[1])
+            & (F.col("min_lat") <= bbox[3])
+        )
+    return docs
 
 
 META_RE = r"v=(-?\d+);ts=(-?\d+);cs=(-?\d+);uid=(-?\d+);vis=([01]);type=(\w+)"

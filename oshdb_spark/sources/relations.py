@@ -1,0 +1,164 @@
+"""Relation-analog entities: versioned multipolygons assembled from
+member ring *arcs*.
+
+The reference models relations as member lists resolved as-of a
+timestamp (``OSMRelation.java:30-40``) whose way members are stitched
+into outer/inner rings by endpoint matching and orientation rules
+(``OSHDBGeometryBuilder.java:188-370``). This module derives a
+deterministic member-arc table from ``events`` (SQL-expressible in both
+engines, like ``sources/versions.py``) that exercises the real
+assembly work:
+
+* every relation version has an OUTER rectangle ring split into two
+  open arcs — and the second arc is stored **reversed**, so assembly
+  must flip it to chain endpoints;
+* an INNER rectangle (the hole), inset by a quarter on each side, also
+  split into two arcs with the second reversed;
+* relations with ``rel_id % 3 == 0`` carry a **second disjoint outer
+  rectangle** (offset east), so the result is a true multipolygon with
+  two shells — assembly must partition arcs into separate rings, not
+  just order them.
+
+Derivation (seeded solely by event_id/ts):
+
+* ``rel_id  = event_id % REL_MOD``
+* ``version = row_number over (rel_id ORDER BY ts, event_id)``
+* outer rect: ``(x0, y0) .. (x0+w, y0+h)`` with ``w``/``h`` varying by
+  version (GEOMETRY_CHANGE transitions are real); inner rect inset by
+  ``(w/4, h/4)`` with half the extent. All extents are multiples of 4
+  so the integer insets are exact in both engines.
+
+The corner formulas are mirrored into DuckDB SQL below — the oracle
+never assembles rings; it expands the expected area symbolically from
+the same corner arithmetic (the assembly itself is gated by equality of
+the end result plus the dedicated pytest cases in
+``tests/test_relations.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+REL_MOD = 40
+LON_A = 97_000_019
+LAT_A = 47_000_019
+LON_SPAN = 3_200_000_000
+LAT_SPAN = 1_500_000_000
+LON_OFF = 1_600_000_000
+LAT_OFF = 750_000_000
+W_BASE = 2_000_000
+W_STEP = 100_000
+H_BASE = 1_500_000
+H_STEP = 80_000
+SECOND_SHELL_MOD = 3  # rel_id % 3 == 0 -> two outer shells
+
+
+def _rect_arcs(x0, y0, x1, y1, role: str, ring_hint: int):
+    """Two open arcs of the closed rect ring (SW,SE,NE,NW,SW): arc A is
+    SW->SE->NE in order; arc B is NW->SW *stored reversed* (SW->NW->...)
+    so assembly must flip it. Returns a list of struct Columns."""
+
+    def pt(x, y):
+        return F.struct(x.cast("long").alias("x"), y.cast("long").alias("y"))
+
+    arc_a = F.array(pt(x0, y0), pt(x1, y0), pt(x1, y1))
+    # true continuation is NE->NW->SW; stored as SW->NW->NE (reversed)
+    arc_b = F.array(pt(x0, y0), pt(x0, y1), pt(x1, y1))
+    return [
+        F.struct(
+            F.lit(role).alias("role"),
+            F.lit(ring_hint).alias("ring_hint"),
+            F.lit(0).alias("arc_idx"),
+            arc_a.alias("pts"),
+        ),
+        F.struct(
+            F.lit(role).alias("role"),
+            F.lit(ring_hint).alias("ring_hint"),
+            F.lit(1).alias("arc_idx"),
+            arc_b.alias("pts"),
+        ),
+    ]
+
+
+def derive_relation_members(ev: DataFrame, rel_mod: int = REL_MOD) -> DataFrame:
+    """relation member arcs, one row per (rel version, arc):
+    (rel_id, version, ts, valid_to, visible, role, ring_hint, arc_idx,
+    lon_arr, lat_arr). ``ring_hint`` is NOT used by assembly (rings are
+    discovered by endpoint chaining) — it only labels the fixture for
+    tests."""
+    eid = F.col("event_id")
+    base = ev.select(
+        (eid % rel_mod).alias("rel_id"),
+        eid.alias("event_id"),
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("ts"),
+        ((eid % 7) != 0).alias("visible"),
+    )
+    w = Window.partitionBy("rel_id").orderBy("ts", "event_id")
+    v = base.withColumn("version", F.row_number().over(w)).withColumn(
+        "valid_to", F.lead("ts").over(w)
+    )
+    x0 = (F.col("rel_id") * LON_A % LON_SPAN - LON_OFF).cast("long")
+    y0 = (F.col("rel_id") * LAT_A % LAT_SPAN - LAT_OFF).cast("long")
+    rw = (F.lit(W_BASE) + (F.col("version") % 5) * W_STEP).cast("long")
+    rh = (F.lit(H_BASE) + (F.col("version") % 3) * H_STEP).cast("long")
+    # quarter extents stay pure integers (W_BASE/W_STEP/H_BASE/H_STEP are
+    # multiples of 4) — no float division anywhere in the fixture
+    rw4 = (F.lit(W_BASE // 4) + (F.col("version") % 5) * (W_STEP // 4)).cast("long")
+    rh4 = (F.lit(H_BASE // 4) + (F.col("version") % 3) * (H_STEP // 4)).cast("long")
+    x1, y1 = x0 + rw, y0 + rh
+    ix0, iy0 = x0 + rw4, y0 + rh4
+    ix1, iy1 = x0 + rw4 * 3, y0 + rh4 * 3
+    # second disjoint shell, offset east by 2w
+    sx0, sx1 = x0 + 2 * rw, x0 + 3 * rw
+
+    arcs = (
+        _rect_arcs(x0, y0, x1, y1, "outer", 0)
+        + _rect_arcs(ix0, iy0, ix1, iy1, "inner", 1)
+        + [
+            F.when(F.col("rel_id") % SECOND_SHELL_MOD == 0, a)
+            for a in _rect_arcs(sx0, y0, sx1, y1, "outer", 2)
+        ]
+    )
+    exploded = v.select(
+        "rel_id",
+        "version",
+        "ts",
+        "valid_to",
+        "visible",
+        F.explode(F.filter(F.array(*arcs), lambda a: a.isNotNull())).alias("m"),
+    )
+    return exploded.select(
+        "rel_id",
+        "version",
+        "ts",
+        "valid_to",
+        "visible",
+        F.col("m.role").alias("role"),
+        F.col("m.ring_hint").alias("ring_hint"),
+        F.col("m.arc_idx").alias("arc_idx"),
+        F.transform(F.col("m.pts"), lambda p: p["x"]).alias("lon_arr"),
+        F.transform(F.col("m.pts"), lambda p: p["y"]).alias("lat_arr"),
+    )
+
+
+def relations_sql(rel_mod: int = REL_MOD) -> str:
+    """DuckDB CTE body: one row per relation version with the rect
+    corner terms expanded symbolically (the oracle computes expected
+    areas from corners, never from assembled rings)."""
+    return f"""
+    SELECT event_id % {rel_mod} AS rel_id,
+           row_number() OVER win AS version,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+           lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER win AS valid_to,
+           (event_id % 7) <> 0 AS visible,
+           (event_id % {rel_mod}) * {LON_A} % {LON_SPAN} - {LON_OFF} AS x0,
+           (event_id % {rel_mod}) * {LAT_A} % {LAT_SPAN} - {LAT_OFF} AS y0,
+           {W_BASE} + (row_number() OVER win % 5) * {W_STEP} AS rw,
+           {H_BASE} + (row_number() OVER win % 3) * {H_STEP} AS rh
+    FROM events
+    WINDOW win AS (PARTITION BY event_id % {rel_mod}
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+    """

@@ -76,6 +76,58 @@ def derive_ways(ev: DataFrame, way_mod: int = WAY_MOD) -> DataFrame:
     )
 
 
+# --- way tag model (TagInterpreter fixture) --------------------------------
+# key ids from functions/taginterpreter.py; presence/value rules are pure
+# way_id arithmetic, mirrored in SQL below. Even way_ids are digitized as
+# CLOSED rings (first vertex appended), so the isArea closure test is real.
+WAY_CLOSED_MOD = 2       # way_id % 2 == 0 -> closed ring
+WAY_BUILDING_MOD = 3     # key 1 present iff way_id % 3 == 0
+WAY_AREA_MOD = 5         # key 5 (area) present iff way_id % 5 == 0
+WAY_AREA_YES_MOD = 20    # ... with value yes(1) iff way_id % 20 == 0, else no(0)
+WAY_HIGHWAY_MOD = 4      # key 6 present iff way_id % 4 == 1 (NOT area-ish)
+
+
+def with_way_tags(ways: DataFrame) -> DataFrame:
+    """Append the tags map and close the ring of even way_ids — the
+    TagInterpreter fixture decoration (leaves the base way table, and
+    therefore every existing oracle, untouched)."""
+    from oshdb_spark.functions.taginterpreter import AREA_KEY, BUILDING_KEY, HIGHWAY_KEY
+
+    wid = F.col("way_id")
+
+    def entry(k: int, present, value):
+        return F.when(
+            present,
+            F.struct(
+                F.lit(k).cast("int").alias("key"), value.cast("int").alias("value")
+            ),
+        )
+
+    tags = F.map_from_entries(
+        F.filter(
+            F.array(
+                entry(BUILDING_KEY, wid % WAY_BUILDING_MOD == 0, F.lit(1)),
+                entry(
+                    AREA_KEY,
+                    wid % WAY_AREA_MOD == 0,
+                    F.when(wid % WAY_AREA_YES_MOD == 0, F.lit(1)).otherwise(F.lit(0)),
+                ),
+                entry(HIGHWAY_KEY, wid % WAY_HIGHWAY_MOD == 1, F.lit(1)),
+            ),
+            lambda e: e.isNotNull(),
+        )
+    )
+    closed = wid % WAY_CLOSED_MOD == 0
+    close = lambda arr: F.when(  # noqa: E731
+        closed, F.concat(F.col(arr), F.array(F.element_at(F.col(arr), 1)))
+    ).otherwise(F.col(arr))
+    return (
+        ways.withColumn("tags", tags)
+        .withColumn("lon_arr", close("lon_arr"))
+        .withColumn("lat_arr", close("lat_arr"))
+    )
+
+
 def ways_sql(way_mod: int = WAY_MOD) -> str:
     """DuckDB CTE body producing the same way-version rows with the
     vertex formulas inlined (the oracle never builds arrays — it

@@ -95,3 +95,70 @@ def test_interleaving_contains_text_and_media_spans(docs):
         .tolist()
     )
     assert set(kinds) == {"meta", "tag", "geom", "text", "media"}
+
+
+def test_doc_summaries_match_versions(spark, sf_dir, docs):
+    """tag_keys / bbox summary columns equal recomputation from the
+    version table (the OSH-header invariant)."""
+    v = load_versions(spark, sf_dir)
+    expected = (
+        v.groupBy("entity_id")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list(F.map_keys("tags"))))
+            ).alias("tag_keys"),
+            F.min("lon_e7").alias("min_lon"),
+            F.max("lon_e7").alias("max_lon"),
+        )
+        .withColumn("doc_id", F.concat(F.lit("d"), F.col("entity_id").cast("string")))
+    )
+    diff = (
+        docs.select("doc_id", "tag_keys", "min_lon", "max_lon")
+        .join(expected, "doc_id")
+        .filter(
+            (docs["tag_keys"] != expected["tag_keys"])
+            | (docs["min_lon"] != expected["min_lon"])
+            | (docs["max_lon"] != expected["max_lon"])
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_prefilter_is_conservative_and_runs_before_decode(spark, sf_dir, docs):
+    """Pre-filtering docs on a tag key keeps results identical to
+    decode-then-filter (never loses a row), strictly reduces the doc
+    set, and sits BELOW the version window in the optimized plan (rows
+    skip before the expensive explode + window)."""
+    from oshdb_spark.sources.docs import prefilter_docs
+
+    full = docs_to_versions(docs).filter(F.map_contains_key("tags", F.lit(3)))
+    pre = docs_to_versions(prefilter_docs(docs, tag_key=3)).filter(
+        F.map_contains_key("tags", F.lit(3))
+    )
+    assert sorted(r["doc_id"] for r in full.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in pre.select("doc_id").collect()
+    )
+    assert prefilter_docs(docs, tag_key=3).count() < docs.count()
+
+    plan = pre._jdf.queryExecution().optimizedPlan().toString()
+    # the doc-level summary filter (on tag_keys) must be present and sit
+    # BELOW the decode window (deeper nodes print later in the tree) —
+    # i.e. docs are skipped before the explode + version window runs.
+    # (the exact per-version filter also compiles to array_contains, on
+    # map_keys(tags), so anchor the search on the summary column name)
+    assert "array_contains(tag_keys" in plan
+    assert plan.index("array_contains(tag_keys") > plan.index("Window")
+
+
+def test_prefilter_bbox_conservative(spark, sf_dir, docs):
+    from oshdb_spark.sources.docs import prefilter_docs
+
+    bbox = (-900_000_000, -450_000_000, 900_000_000, 450_000_000)
+    in_box = (
+        (F.col("lon_e7") >= bbox[0]) & (F.col("lon_e7") <= bbox[2])
+        & (F.col("lat_e7") >= bbox[1]) & (F.col("lat_e7") <= bbox[3])
+    )
+    full = docs_to_versions(docs).filter(in_box).count()
+    pre = docs_to_versions(prefilter_docs(docs, bbox=bbox)).filter(in_box).count()
+    assert full == pre

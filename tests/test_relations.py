@@ -1,0 +1,135 @@
+"""Multipolygon ring assembly: endpoint chaining, arc reversal, shell
+partitioning, holes, and degenerate (unclosed) members — the pytest
+ports of the reference's relation-geometry cases
+(oshdb-util/src/test/.../geometry/relations/)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oshdb_spark.operators.relations import _assemble, _ring_signed_area_m2
+
+
+def _arc(role, idx, pts):
+    return {
+        "role": role,
+        "arc_idx": idx,
+        "lon_arr": [p[0] for p in pts],
+        "lat_arr": [p[1] for p in pts],
+    }
+
+
+RECT = [(0, 0), (4_000_000, 0), (4_000_000, 3_000_000), (0, 3_000_000)]
+SW, SE, NE, NW = RECT
+
+
+def test_two_arcs_with_reversal_close_one_ring():
+    arcs = [
+        _arc("outer", 0, [SW, SE, NE]),
+        _arc("outer", 1, [SW, NW, NE]),  # stored reversed
+    ]
+    out = _assemble(arcs)
+    assert out["closed"] and out["n_outer"] == 1 and out["n_inner"] == 0
+    ring = out["rings"][0]
+    assert (ring["lon"][0], ring["lat"][0]) == (ring["lon"][-1], ring["lat"][-1])
+    assert len(ring["lon"]) == 5
+    # the full vertex cycle: SW,SE,NE,NW,SW (arc B consumed in reverse)
+    assert list(zip(ring["lon"], ring["lat"])) == [SW, SE, NE, NW, SW]
+
+
+def test_assembly_is_order_invariant():
+    arcs = [
+        _arc("outer", 0, [SW, SE, NE]),
+        _arc("outer", 1, [SW, NW, NE]),
+    ]
+    shuffled = list(reversed(arcs))
+    a, b = _assemble(arcs), _assemble(shuffled)
+    assert a["area_m2"] == b["area_m2"]
+    assert [r["role"] for r in a["rings"]] == [r["role"] for r in b["rings"]]
+
+
+def test_three_arc_ring():
+    arcs = [
+        _arc("outer", 0, [SW, SE]),
+        _arc("outer", 1, [SE, NE, NW]),
+        _arc("outer", 2, [NW, SW]),
+    ]
+    out = _assemble(arcs)
+    assert out["closed"] and out["n_outer"] == 1
+    assert len(out["rings"][0]["lon"]) == 5
+
+
+def test_two_disjoint_shells_partition_into_two_rings():
+    shift = 10_000_000
+    rect2 = [(x + shift, y) for x, y in RECT]
+    arcs = [
+        _arc("outer", 0, [SW, SE, NE]),
+        _arc("outer", 1, [SW, NW, NE]),
+        _arc("outer", 0, [rect2[0], rect2[1], rect2[2]]),
+        _arc("outer", 1, [rect2[0], rect2[3], rect2[2]]),
+    ]
+    out = _assemble(arcs)
+    assert out["closed"] and out["n_outer"] == 2
+    # both shells are the same rectangle size -> double the single area
+    single = _assemble(arcs[:2])["area_m2"]
+    assert out["area_m2"] == pytest.approx(2 * single, rel=1e-9)
+
+
+def test_hole_subtracts_area():
+    inner = [(1_000_000, 750_000), (3_000_000, 750_000),
+             (3_000_000, 2_250_000), (1_000_000, 2_250_000)]
+    arcs = [
+        _arc("outer", 0, [SW, SE, NE]),
+        _arc("outer", 1, [SW, NW, NE]),
+        _arc("inner", 0, [inner[0], inner[1], inner[2]]),
+        _arc("inner", 1, [inner[0], inner[3], inner[2]]),
+    ]
+    out = _assemble(arcs)
+    assert out["n_outer"] == 1 and out["n_inner"] == 1
+    shell_only = _assemble(arcs[:2])["area_m2"]
+    assert 0 < out["area_m2"] < shell_only
+
+
+def test_unclosed_member_flags_and_contributes_nothing():
+    arcs = [
+        _arc("outer", 0, [SW, SE, NE]),  # missing the closing arc
+    ]
+    out = _assemble(arcs)
+    assert not out["closed"]
+    assert out["area_m2"] == 0.0
+
+
+def test_ring_orientation_does_not_change_area():
+    cw = [SW, NW, NE, SE, SW]  # clockwise closed ring
+    ccw = [SW, SE, NE, NW, SW]
+    a_cw = abs(_ring_signed_area_m2([p[0] for p in cw], [p[1] for p in cw]))
+    a_ccw = abs(_ring_signed_area_m2([p[0] for p in ccw], [p[1] for p in ccw]))
+    assert a_cw == pytest.approx(a_ccw, rel=1e-12)
+    # signs are opposite (signed C-D area)
+    s_cw = _ring_signed_area_m2([p[0] for p in cw], [p[1] for p in cw])
+    s_ccw = _ring_signed_area_m2([p[0] for p in ccw], [p[1] for p in ccw])
+    assert s_cw * s_ccw < 0
+
+
+def test_fixture_assembly_end_to_end(spark, sf_dir):
+    """The derived fixture: every relation version assembles closed,
+    with 2 shells exactly when rel_id % 3 == 0, and positive area."""
+    from oshdb_spark.operators.relations import (
+        assemble_multipolygons,
+        collect_member_arcs,
+    )
+    from oshdb_spark.sources.relations import SECOND_SHELL_MOD, derive_relation_members
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = derive_relation_members(ev).filter(F.col("version") <= 3)
+    mp = assemble_multipolygons(collect_member_arcs(m)).select(
+        "rel_id", "version", "mp.*"
+    )
+    pdf = mp.toPandas()
+    assert (pdf["closed"]).all()
+    assert (pdf["n_inner"] == 1).all()
+    assert (pdf["area_m2"] > 0).all()
+    two = pdf[pdf.rel_id % SECOND_SHELL_MOD == 0]
+    one = pdf[pdf.rel_id % SECOND_SHELL_MOD != 0]
+    assert (two["n_outer"] == 2).all() and (one["n_outer"] == 1).all()

@@ -214,3 +214,49 @@ def test_region_additivity_and_zerofill(spark, sf_dir):
     assert set(rows) == {"left", "right", "total", "null_island"}
     assert rows["total"] == rows["left"] + rows["right"]
     assert rows["null_island"] == 0
+
+
+def test_polygon_region_additivity(spark, sf_dir):
+    """Disjoint polygon halves partition the diamond: west + east ==
+    diamond per group (TestMapAggregateByGeometry.java:91-95 analog,
+    generalized past rectangles)."""
+    from pyspark.sql import functions as F
+
+    from oshdb_spark.operators.spatial import aggregate_by_polygon_regions
+    from oshdb_spark.queries import POLY_REGIONS, TILE_TS, _snapshot_at
+
+    snap = _snapshot_at(spark, sf_dir, TILE_TS)
+    split = aggregate_by_polygon_regions(snap, POLY_REGIONS, zoom=6)
+    counts = {
+        r["region_key"]: r["cnt"]
+        for r in split.groupBy("region_key").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert counts.get("west", 0) + counts.get("east", 0) == counts.get("diamond", 0)
+    assert counts.get("diamond", 0) > 0
+
+
+def test_polygon_regions_match_bruteforce_pip(spark, sf_dir):
+    """The cover-join + kernel path equals a plain all-rows PIP filter
+    for every region (no candidate is lost to the cell prune)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from oshdb_spark.operators.spatial import aggregate_by_polygon_regions, pip_mask
+    from oshdb_spark.queries import POLY_REGIONS, TILE_TS, _snapshot_at
+
+    snap = _snapshot_at(spark, sf_dir, TILE_TS).select("entity_id", "lon_e7", "lat_e7")
+    split = aggregate_by_polygon_regions(snap, POLY_REGIONS, zoom=6)
+    got = {
+        (r["region_key"], r["entity_id"])
+        for r in split.select("region_key", "entity_id").collect()
+    }
+    pdf = snap.toPandas()
+    expected = set()
+    for name, (plon, plat) in POLY_REGIONS.items():
+        m = pip_mask(
+            pdf["lon_e7"].to_numpy(), pdf["lat_e7"].to_numpy(),
+            np.asarray(plon, float), np.asarray(plat, float),
+        )
+        expected |= {(name, e) for e in pdf.loc[m, "entity_id"]}
+    assert got == expected

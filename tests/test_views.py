@@ -114,3 +114,53 @@ def test_filter_relative_semantics(spark, sf_dir):
     # a filter-relative deletion row is the version that STOPPED matching:
     # it is either invisible or fails the predicate
     assert ((~deletions.visible) | (deletions.tag_v < 2)).all()
+
+
+def test_contributions_full_tags_map_diff(spark, sf_dir):
+    """The generalized operator can diff the FULL tags map: any change
+    in any key (not just the scalar pair) classifies TAG_CHANGE; the
+    scalar-pair default stays the documented fixture signal."""
+    from pyspark.sql import functions as F
+
+    from oshdb_spark.operators.contribution import contributions
+    from oshdb_spark.sources.versions import load_versions
+
+    v = load_versions(spark, sf_dir)
+    scal = contributions(v)  # default: scalar pair
+    full = contributions(v, tag_cols=("tags",))
+
+    def n_tag_changes(df):
+        return df.filter(F.col("contrib_type").contains("TAG_CHANGE")).count()
+
+    # the map includes version-varying keys 3/4 on top of the scalars, so
+    # map-diff TAG_CHANGEs must be a superset count-wise
+    assert n_tag_changes(full) >= n_tag_changes(scal)
+    assert scal.count() == full.count()  # row universe identical
+
+
+def test_way_contributions_via_unified_operator(spark, sf_dir):
+    """Way contributions routed through contributions() equal the
+    catalog query result (one operator, two entity shapes)."""
+    from pyspark.sql import functions as F
+
+    from oshdb_spark.operators.contribution import contributions
+    from oshdb_spark.queries import q_way_contrib_counts
+    from oshdb_spark.sources.ways import derive_ways
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    c = contributions(
+        derive_ways(ev),
+        collapse=False,
+        entity_col="way_id",
+        tag_cols=(),
+        geom_cols=("lon_arr", "lat_arr"),
+    )
+    got = {
+        r["contrib_type"]: r["cnt"]
+        for r in c.groupBy("contrib_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    expected = {
+        r["contrib_type"]: r["cnt"] for r in q_way_contrib_counts(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert "GEOMETRY_CHANGE" in got and "TAG_CHANGE" not in got
