@@ -41,24 +41,29 @@ _SEP = "\x1f"  # shingle-internal word separator (never appears in words)
 
 def shingle_hashes_col(text_col) -> F.Column:
     """int64 hashes of the word 3-gram shingles of a document, built
-    entirely JVM-side (lower/split/filter + transform + xxhash64) so no
-    Python string loop ever runs — docs shorter than 3 words collapse to
-    a single whole-doc shingle, empty docs to the hash of ''."""
+    entirely JVM-side (lower/split/filter + slice/zip_with + xxhash64)
+    so no Python string loop ever runs — docs shorter than 3 words
+    collapse to a single whole-doc shingle, empty docs to the hash of ''.
+
+    Construction is slice+zip_with, NOT element_at inside a transform
+    lambda: a lambda that indexes into a *computed* array re-evaluates
+    the whole split/filter subtree per element (measured quadratic —
+    ~15 s for 5k docs); three slices + two zips re-evaluate it a
+    constant number of times per row."""
     words = F.filter(F.split(F.lower(text_col), r"\s+"), lambda w: w != F.lit(""))
     n = F.size(words)
+    sep = F.lit(_SEP)
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice(words, 1, n - 2),
+            F.slice(words, 2, n - 2),
+            lambda a, b: F.concat(a, sep, b),
+        ),
+        F.slice(words, 3, n - 2),
+        lambda ab, c: F.concat(ab, sep, c),
+    )
     shingles = (
-        F.when(
-            n >= 3,
-            F.transform(
-                F.sequence(F.lit(0), n - 3),
-                lambda i: F.concat_ws(
-                    _SEP,
-                    F.element_at(words, i + 1),
-                    F.element_at(words, i + 2),
-                    F.element_at(words, i + 3),
-                ),
-            ),
-        )
+        F.when(n >= 3, tri)
         .when(n >= 1, F.array(F.array_join(words, _SEP)))
         .otherwise(F.array(F.lit("")))
     )
@@ -129,10 +134,14 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def minhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Candidate near-dup pairs (a < b) from LSH band buckets."""
+    # materialize signatures once: the band self-join would otherwise
+    # duplicate the whole signature subtree (shingles + Arrow kernel)
+    # into both join branches — at scale this is the "write the
+    # signature table, then join it" step
     sigs = docs.select(
         F.col(id_col).alias("id"),
         _minhash_signature_udf()(shingle_hashes_col(F.col(text_col))).alias("sig"),
-    )
+    ).localCheckpoint(eager=False)
     bands = sigs.select(
         "id",
         F.posexplode(
@@ -326,10 +335,12 @@ def simhash_neardup_pairs(
     for distance <= 3; a high-recall heuristic above that), then the
     exact distance check is a JVM ``bit_count(a ^ b)``. The multi-probe
     band join keeps candidate generation a hash join, never O(n^2)."""
+    # signatures materialized once (the self-join below would compute
+    # the shingle + kernel subtree twice otherwise)
     s = docs.select(
         F.col(id_col).alias("id"),
         _simhash64_udf()(shingle_hashes_col(F.col(text_col))).alias("sim"),
-    )
+    ).localCheckpoint(eager=False)
     bands = s.select(
         "id",
         "sim",

@@ -247,6 +247,98 @@ def np_clip_segments_convex(
     return t0, t1, valid
 
 
+def ear_clip_triangles(
+    poly_x: np.ndarray, poly_y: np.ndarray
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Deterministic ear-clipping triangulation of a simple polygon
+    (no holes): the driver-side decomposition that turns ARBITRARY
+    (concave) clip windows into a fixed list of convex pieces for the
+    batched Cyrus–Beck kernel — the reference reaches arbitrary
+    polygons through JTS intersection (``Geo.java:185-191``); here the
+    decomposition happens once per AOI, the per-row work stays a convex
+    parametric clip. Returns CCW (x, y) vertex triples in a
+    deterministic order (same inputs -> same triangles, which the SQL
+    oracles rely on)."""
+    px = np.asarray(poly_x, dtype=np.float64)
+    py = np.asarray(poly_y, dtype=np.float64)
+    if px[0] == px[-1] and py[0] == py[-1]:
+        px, py = px[:-1], py[:-1]
+    n = len(px)
+    # normalize to CCW (positive shoelace area)
+    area2 = float(np.sum(px * np.roll(py, -1) - np.roll(px, -1) * py))
+    idx = list(range(n)) if area2 > 0 else list(range(n))[::-1]
+
+    def cross(i0, i1, i2):
+        return (px[i1] - px[i0]) * (py[i2] - py[i0]) - (py[i1] - py[i0]) * (
+            px[i2] - px[i0]
+        )
+
+    def in_tri(p, i0, i1, i2):
+        d0 = (px[i1] - px[i0]) * (py[p] - py[i0]) - (py[i1] - py[i0]) * (px[p] - px[i0])
+        d1 = (px[i2] - px[i1]) * (py[p] - py[i1]) - (py[i2] - py[i1]) * (px[p] - px[i1])
+        d2 = (px[i0] - px[i2]) * (py[p] - py[i2]) - (py[i0] - py[i2]) * (px[p] - px[i2])
+        return d0 >= 0 and d1 >= 0 and d2 >= 0
+
+    tris: list[tuple[int, int, int]] = []
+    guard = 4 * n * n
+    while len(idx) > 3 and guard > 0:
+        guard -= 1
+        for k in range(len(idx)):
+            i0, i1, i2 = idx[k - 1], idx[k], idx[(k + 1) % len(idx)]
+            if cross(i0, i1, i2) <= 0:
+                continue  # reflex corner: not an ear
+            if any(
+                in_tri(p, i0, i1, i2)
+                for p in idx
+                if p not in (i0, i1, i2)
+            ):
+                continue  # another vertex inside: not an ear
+            tris.append((i0, i1, i2))
+            del idx[k]
+            break
+        else:
+            break  # degenerate input; emit what we have
+    if len(idx) == 3:
+        tris.append((idx[0], idx[1], idx[2]))
+    return [
+        (np.array([px[a], px[b], px[c]]), np.array([py[a], py[b], py[c]]))
+        for a, b, c in tris
+    ]
+
+
+def np_cliplen_concave(
+    x1: np.ndarray,
+    y1: np.ndarray,
+    x2: np.ndarray,
+    y2: np.ndarray,
+    triangles: list[tuple[np.ndarray, np.ndarray]],
+    earth_radius: float,
+) -> np.ndarray:
+    """Equirectangular length of each segment's pieces inside a
+    triangulated (possibly concave) polygon: per triangle a Cyrus–Beck
+    clip, piece lengths accumulated in triangle order (fixed float op
+    order — the SQL oracle mirrors the same per-piece terms). Pieces
+    partition each segment along triangulation diagonals; the equirect
+    measure is evaluated per piece on BOTH sides, so the partition is
+    parity-identical even though geodesic length is not split-additive.
+    A segment exactly collinear with an interior diagonal would be
+    counted by both adjacent triangles — identically on both sides."""
+    total = np.zeros(np.shape(x1), dtype=np.float64)
+    dx = np.asarray(x2, dtype=np.float64) - x1
+    dy = np.asarray(y2, dtype=np.float64) - y1
+    for tx, ty in triangles:
+        t0, t1, valid = np_clip_segments_convex(x1, y1, x2, y2, tx, ty)
+        cx1, cy1 = x1 + t0 * dx, y1 + t0 * dy
+        cx2, cy2 = x1 + t1 * dx, y1 + t1 * dy
+        dlng = np.radians((cx2 - cx1) * 1e-7) * np.cos(
+            np.radians(((cy1 + cy2) * 1e-7) / 2.0)
+        )
+        dlat = np.radians((cy2 - cy1) * 1e-7)
+        piece = earth_radius * np.sqrt(dlng * dlng + dlat * dlat)
+        total += np.where(valid, piece, 0.0)
+    return total
+
+
 # ---------------------------------------------------------------------------
 # cell cover (3-way classification, driver-side)
 # ---------------------------------------------------------------------------

@@ -1978,6 +1978,65 @@ def o_relation_pip() -> str:
     """
 
 
+def q_relation_mod_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getModificationTimestamps with child-induced changes
+    (OSHEntities.java:315-478): a relation's modification instants are
+    its OWN version timestamps plus every member way's version
+    timestamps inside the relation's lifetime — the normalized member
+    as-of join (members referenced by id, resolved against the ways
+    table; membership is version-stable in this fixture so the validity
+    window is the relation's whole lifetime). One equi-join on way_id +
+    one distinct-count aggregation; at scale both shuffle on their
+    natural keys."""
+    from oshdb_spark.sources.relations import derive_relations, member_way_ids_col
+    from oshdb_spark.sources.ways import WAY_MOD, derive_ways
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rels = derive_relations(ev)
+    own = rels.select("rel_id", "ts")
+    first = rels.groupBy("rel_id").agg(F.min("ts").alias("first_ts"))
+    members = first.select(
+        "rel_id", "first_ts", F.explode(member_way_ids_col(WAY_MOD)).alias("way_id")
+    )
+    way_ts = derive_ways(ev).select("way_id", "ts")
+    child = (
+        members.join(way_ts, "way_id")
+        .filter(F.col("ts") >= F.col("first_ts"))
+        .select("rel_id", "ts")
+    )
+    return (
+        own.unionByName(child)
+        .groupBy("rel_id")
+        .agg(
+            F.count_distinct("ts").alias("n_mod_ts"),
+            F.max("ts").alias("last_mod_ts"),
+        )
+    )
+
+
+def o_relation_mod_ts() -> str:
+    from oshdb_spark.sources.relations import member_way_ids_sql, relations_sql
+    from oshdb_spark.sources.ways import WAY_MOD, ways_sql
+
+    formulas = ", ".join(member_way_ids_sql(WAY_MOD))
+    return f"""WITH r AS ({relations_sql()}), wy AS ({ways_sql()}),
+    firstv AS (SELECT rel_id, min(ts) AS first_ts FROM r GROUP BY 1),
+    mem AS (
+      SELECT f.rel_id, f.first_ts, u.way_id
+      FROM firstv f, LATERAL (SELECT unnest([{formulas}]) AS way_id) u
+    ),
+    allts AS (
+      SELECT rel_id, ts FROM r
+      UNION ALL
+      SELECT m.rel_id, w.ts FROM mem m JOIN wy w ON w.way_id = m.way_id
+      WHERE w.ts >= m.first_ts
+    )
+    SELECT rel_id, CAST(count(DISTINCT ts) AS BIGINT) AS n_mod_ts,
+           max(ts) AS last_mod_ts
+    FROM allts GROUP BY 1
+    """
+
+
 def q_way_contrib_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contribution view over way geometries through the SAME
     ``contributions()`` operator as nodes (parameterized entity/geom
@@ -2173,6 +2232,110 @@ def o_way_vector_tiles() -> str:
            count(DISTINCT way_id) AS n_ways,
            round(sum(len_m) / 1000.0, 2) AS len_km
     FROM clipped WHERE len_m IS NOT NULL GROUP BY 2, 3
+    """
+
+
+# L-shaped (concave) AOI: bottom slab plus an upper-left arm; concave
+# corner at (0, 1e8)
+L_POLY_LON = [-500_000_000, 500_000_000, 500_000_000, 0, 0, -500_000_000]
+L_POLY_LAT = [-300_000_000, -300_000_000, 100_000_000, 100_000_000, 400_000_000, 400_000_000]
+
+
+def _l_poly_triangles():
+    import numpy as np
+
+    from oshdb_spark.operators.spatial import ear_clip_triangles
+
+    return ear_clip_triangles(
+        np.asarray(L_POLY_LON, dtype=np.float64),
+        np.asarray(L_POLY_LAT, dtype=np.float64),
+    )
+
+
+def q_way_concave_clipped_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo.clip against an ARBITRARY (concave) polygon — the last clip
+    generality gap: the AOI is ear-clipped ONCE driver-side into convex
+    triangles (spatial.ear_clip_triangles) and every way segment is
+    Cyrus–Beck-clipped against each triangle in one Arrow kernel, piece
+    lengths accumulated in triangle order. The oracle re-derives the
+    SAME triangles (deterministic decomposition) and expands each
+    triangle's parametric clip symbolically."""
+    import numpy as np
+    import pandas as pd
+
+    from oshdb_spark.functions.geo import EARTH_RADIUS
+    from oshdb_spark.operators.spatial import np_cliplen_concave
+
+    tris = _l_poly_triangles()
+    w = _ways_asof(spark, sf_dir)
+    segs = w.select(
+        "way_id",
+        F.explode(F.sequence(F.lit(0), F.size("lon_arr") - 2)).alias("j"),
+        "lon_arr",
+        "lat_arr",
+    ).select(
+        "way_id",
+        F.element_at("lon_arr", F.col("j") + 1).cast("double").alias("x1"),
+        F.element_at("lat_arr", F.col("j") + 1).cast("double").alias("y1"),
+        F.element_at("lon_arr", F.col("j") + 2).cast("double").alias("x2"),
+        F.element_at("lat_arr", F.col("j") + 2).cast("double").alias("y2"),
+    )
+
+    def _fn(x1, y1, x2, y2):
+        out = np_cliplen_concave(
+            x1.to_numpy(), y1.to_numpy(), x2.to_numpy(), y2.to_numpy(),
+            tris, EARTH_RADIUS,
+        )
+        return pd.Series(out)
+
+    cliplen = pandas_udf(_fn, "double")
+    return (
+        segs.select("way_id", cliplen("x1", "y1", "x2", "y2").alias("len_m"))
+        .groupBy("way_id")
+        .agg(F.round(F.sum("len_m"), 4).alias("len_in_l_m"))
+    )
+
+
+def o_way_concave_clipped_length() -> str:
+    from oshdb_spark.sources.ways import lat_sql, lon_sql
+
+    def cb_piece(tx, ty):
+        # Cyrus–Beck CASE term for one CCW triangle (the same template
+        # as o_way_aoi_clipped_length, parameterized by vertices)
+        t0_terms, t1_terms, rej_terms = [], [], []
+        for i in range(3):
+            ex, ey = int(tx[i]), int(ty[i])
+            nx = int(ty[(i + 1) % 3]) - ey
+            ny = -(int(tx[(i + 1) % 3]) - ex)
+            num = f"({nx}.0 * (x1 - {ex}) + {ny}.0 * (y1 - {ey}))"
+            den = f"({nx}.0 * dx + {ny}.0 * dy)"
+            t0_terms.append(f"CASE WHEN {den} < 0 THEN -{num} / {den} ELSE 0 END")
+            t1_terms.append(f"CASE WHEN {den} > 0 THEN -{num} / {den} ELSE 1 END")
+            rej_terms.append(f"({den} = 0 AND {num} > 0)")
+        t0 = "greatest(0, " + ", ".join(t0_terms) + ")"
+        t1 = "least(1, " + ", ".join(t1_terms) + ")"
+        rej = " OR ".join(rej_terms)
+        return f"""CASE WHEN NOT ({rej}) AND {t0} <= {t1} THEN
+          6371000.0 * sqrt(
+            (radians(((x1 + {t1} * dx) - (x1 + {t0} * dx)) * 1e-7)
+             * cos(radians((((y1 + {t0} * dy) + (y1 + {t1} * dy)) * 1e-7) / 2.0)))
+          * (radians(((x1 + {t1} * dx) - (x1 + {t0} * dx)) * 1e-7)
+             * cos(radians((((y1 + {t0} * dy) + (y1 + {t1} * dy)) * 1e-7) / 2.0)))
+          + radians(((y1 + {t1} * dy) - (y1 + {t0} * dy)) * 1e-7)
+            * radians(((y1 + {t1} * dy) - (y1 + {t0} * dy)) * 1e-7)
+          )
+        ELSE 0.0 END"""
+
+    pieces = " + ".join(f"({cb_piece(tx, ty)})" for tx, ty in _l_poly_triangles())
+    seg_union = " UNION ALL ".join(
+        f"SELECT way_id, CAST({lon_sql(j)} AS DOUBLE) AS x1, CAST({lat_sql(j)} AS DOUBLE) AS y1, "
+        f"CAST({lon_sql(j + 1)} AS DOUBLE) AS x2, CAST({lat_sql(j + 1)} AS DOUBLE) AS y2 FROM ao"
+        for j in range(4)
+    )
+    return f"""{_ways_oracle_asof_cte()},
+    segs AS (SELECT *, x2 - x1 AS dx, y2 - y1 AS dy FROM ({seg_union})),
+    clipped AS (SELECT way_id, {pieces} AS len_m FROM segs)
+    SELECT way_id, round(sum(len_m), 4) AS len_in_l_m FROM clipped GROUP BY 1
     """
 
 
@@ -2618,6 +2781,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "relation_mp_area": q_relation_mp_area,
     "relation_pip": q_relation_pip,
     "way_kind_measures": q_way_kind_measures,
+    "relation_mod_ts": q_relation_mod_ts,
+    "way_concave_clipped_length": q_way_concave_clipped_length,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_segment": q_top_orders_per_segment,
@@ -2683,6 +2848,8 @@ ORACLES: dict[str, str] = {
     "relation_mp_area": o_relation_mp_area(),
     "relation_pip": o_relation_pip(),
     "way_kind_measures": o_way_kind_measures(),
+    "relation_mod_ts": o_relation_mod_ts(),
+    "way_concave_clipped_length": o_way_concave_clipped_length(),
     "pricing_summary": o_pricing_summary(),
     "revenue_by_nation": o_revenue_by_nation(),
     "top_orders_per_segment": o_top_orders_per_segment(),

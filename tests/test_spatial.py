@@ -260,3 +260,77 @@ def test_polygon_regions_match_bruteforce_pip(spark, sf_dir):
         )
         expected |= {(name, e) for e in pdf.loc[m, "entity_id"]}
     assert got == expected
+
+
+def test_ear_clip_partitions_polygon_area():
+    """Triangulation invariants: CCW triangles whose areas sum to the
+    polygon area (planar shoelace), deterministic across runs."""
+    from oshdb_spark.operators.spatial import ear_clip_triangles
+    from oshdb_spark.queries import L_POLY_LAT, L_POLY_LON
+
+    px = np.asarray(L_POLY_LON, float)
+    py = np.asarray(L_POLY_LAT, float)
+    tris = ear_clip_triangles(px, py)
+    assert len(tris) == len(px) - 2
+
+    def shoelace(x, y):
+        return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+    poly_area = abs(shoelace(px, py))
+    tri_sum = 0.0
+    for tx, ty in tris:
+        a = shoelace(tx, ty)
+        assert a > 0  # CCW
+        tri_sum += a
+    assert tri_sum == pytest.approx(poly_area, rel=1e-12)
+
+    tris2 = ear_clip_triangles(px, py)
+    assert all(
+        (t1[0] == t2[0]).all() and (t1[1] == t2[1]).all()
+        for t1, t2 in zip(tris, tris2)
+    )
+
+
+def test_concave_clip_matches_rect_decomposition():
+    """Piece lengths inside the L equal the sum of clips against its two
+    disjoint rectangles (an independent decomposition), within float
+    tolerance — the partitions differ so equality is geometric, not FP."""
+    from oshdb_spark.functions.geo import EARTH_RADIUS
+    from oshdb_spark.operators.spatial import (
+        ear_clip_triangles,
+        np_clip_segments,
+        np_cliplen_concave,
+    )
+    from oshdb_spark.queries import L_POLY_LAT, L_POLY_LON
+
+    rng = np.random.default_rng(7)
+    n = 500
+    x1 = rng.uniform(-8e8, 8e8, n)
+    y1 = rng.uniform(-5e8, 6e8, n)
+    x2 = x1 + rng.uniform(-3e8, 3e8, n)
+    y2 = y1 + rng.uniform(-3e8, 3e8, n)
+
+    tris = ear_clip_triangles(np.asarray(L_POLY_LON, float), np.asarray(L_POLY_LAT, float))
+    got = np_cliplen_concave(x1, y1, x2, y2, tris, EARTH_RADIUS)
+
+    # L = bottom slab [-5e8,5e8]x[-3e8,1e8] + upper-left arm [-5e8,0]x[1e8,4e8]
+    def rect_len(rect):
+        rx0, ry0, rx1, ry1 = rect
+        cx1, cy1, cx2, cy2, valid = np_clip_segments(
+            x1, y1, x2, y2,
+            np.full(n, float(rx0)), np.full(n, float(ry0)),
+            np.full(n, float(rx1)), np.full(n, float(ry1)),
+        )
+        dlng = np.radians((cx2 - cx1) * 1e-7) * np.cos(
+            np.radians(((cy1 + cy2) * 1e-7) / 2.0)
+        )
+        dlat = np.radians((cy2 - cy1) * 1e-7)
+        return np.where(valid, EARTH_RADIUS * np.sqrt(dlng**2 + dlat**2), 0.0)
+
+    expected = rect_len((-5e8, -3e8, 5e8, 1e8)) + rect_len((-5e8, 1e8, 0, 4e8))
+    # the equirect measure is not split-additive: each piece uses its own
+    # cos(mid-latitude), and these segments span tens of degrees, so the
+    # two decompositions disagree by up to ~0.3%. 1% tolerance still
+    # catches any real clipping bug (wrong pieces diverge by integer
+    # factors, not fractions of a percent)
+    np.testing.assert_allclose(got, expected, rtol=1e-2, atol=1.0)
