@@ -149,6 +149,16 @@ def main() -> None:
         }
         eff = best["eff"]
         os.makedirs("BENCH", exist_ok=True)
+        # preserve the per-query catalog-suite section (appended by the
+        # round workflow) — the scaling rewrite owns only the header
+        suite_tail = ""
+        try:
+            old = open("BENCH/BASELINE.md").read()
+            idx = old.find("## Catalog suite")
+            if idx >= 0:
+                suite_tail = "\n" + old[idx:]
+        except OSError:
+            pass
         with open("BENCH/BASELINE.md", "w") as f:
             f.write(
                 "# BENCH — measured throughput & scaling\n\n"
@@ -181,6 +191,7 @@ def main() -> None:
                 "one) cancels out of the ratio; interleaved pairs cancel "
                 "slow drifts.\n"
             )
+            f.write(suite_tail)
         print(
             json.dumps(
                 {

@@ -133,3 +133,79 @@ def test_fixture_assembly_end_to_end(spark, sf_dir):
     two = pdf[pdf.rel_id % SECOND_SHELL_MOD == 0]
     one = pdf[pdf.rel_id % SECOND_SHELL_MOD != 0]
     assert (two["n_outer"] == 2).all() and (one["n_outer"] == 1).all()
+
+
+# ---------------------------------------------------------------------------
+# property tests: random polygons through assembly / triangulation
+# ---------------------------------------------------------------------------
+
+def _random_simple_polygon(rng, n):
+    """Star-shaped simple polygon: angle-sorted vertices on noisy radii
+    (always non-self-intersecting)."""
+    import numpy as np
+
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    rad = rng.uniform(2_000_000, 9_000_000, n)
+    x = (rad * np.cos(ang)).astype(np.int64)
+    y = (rad * np.sin(ang)).astype(np.int64)
+    return x, y
+
+
+def test_assembly_recovers_random_polygons_from_shuffled_reversed_arcs():
+    """Split random simple polygons into k arcs, shuffle and randomly
+    reverse them: assembly must recover one closed ring with the same
+    vertex cycle (up to rotation/direction) and the same C-D area."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n = int(rng.integers(5, 12))
+        x, y = _random_simple_polygon(rng, n)
+        ring = list(zip(x.tolist(), y.tolist())) + [(int(x[0]), int(y[0]))]
+        # cut the closed ring at k random positions into arcs
+        k = int(rng.integers(2, min(5, n)))
+        cuts = sorted(rng.choice(np.arange(1, n), size=k - 1, replace=False).tolist())
+        bounds = [0] + cuts + [n]
+        arcs = []
+        for i in range(len(bounds) - 1):
+            pts = ring[bounds[i]: bounds[i + 1] + 1]
+            if rng.random() < 0.5:
+                pts = pts[::-1]
+            arcs.append(
+                {
+                    "role": "outer",
+                    "arc_idx": int(rng.integers(0, 100)),
+                    "lon_arr": [p[0] for p in pts],
+                    "lat_arr": [p[1] for p in pts],
+                }
+            )
+        rng.shuffle(arcs)
+        out = _assemble(arcs)
+        assert out["closed"], trial
+        assert out["n_outer"] == 1, trial
+        got = out["rings"][0]
+        assert len(got["lon"]) == n + 1, trial
+        expect_area = abs(
+            _ring_signed_area_m2([p[0] for p in ring], [p[1] for p in ring])
+        )
+        assert out["area_m2"] == pytest.approx(expect_area, rel=1e-9), trial
+
+
+def test_ear_clip_random_polygons_partition_area():
+    import numpy as np
+
+    from oshdb_spark.operators.spatial import ear_clip_triangles
+
+    rng = np.random.default_rng(23)
+    for trial in range(20):
+        n = int(rng.integers(4, 14))
+        x, y = _random_simple_polygon(rng, n)
+        px, py = x.astype(float), y.astype(float)
+        tris = ear_clip_triangles(px, py)
+        assert len(tris) == n - 2, trial
+
+        def shoelace(a, b):
+            return 0.5 * float(np.sum(a * np.roll(b, -1) - np.roll(a, -1) * b))
+
+        tri_sum = sum(shoelace(tx, ty) for tx, ty in tris)
+        assert tri_sum == pytest.approx(abs(shoelace(px, py)), rel=1e-9), trial

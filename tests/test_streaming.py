@@ -109,3 +109,55 @@ def test_windowed_counts_with_watermark(spark, sf_dir, staged_events, tmp_path):
     assert set(pdf.columns) == {"window", "contrib_type", "cnt"}
     # windows partition the events: totals must reconcile with the flat stream
     assert pdf["cnt"].sum() > 0
+
+
+def test_streaming_dedup_keep_first(spark, sf_dir, tmp_path):
+    """Stateful streaming dedup: the planted clone batch arriving AFTER
+    the originals is fully flagged duplicate with the original as
+    keeper; keepers equal the batch min-doc_id-per-fingerprint rule."""
+    from oshdb_spark.streaming.dedup_stream import stream_dedup
+
+    root = tmp_path / "dedup_src"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    originals = docs.filter(F.col("doc_id") < 100)
+    clones = originals.withColumn("doc_id", F.col("doc_id") + 100000)
+    originals.coalesce(1).write.parquet(str(root / "batch0"))
+    clones.coalesce(1).write.parquet(str(root / "batch1"))
+
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(root / "batch*"))
+    )
+    out = stream_dedup(src.withColumn("doc_id", F.col("doc_id").cast("string")))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    pdf = spark.table("dedup_stream_test").toPandas()
+    n_orig = originals.count()
+    assert len(pdf) == 2 * n_orig
+    dups = pdf[pdf.is_dup]
+    keeps = pdf[~pdf.is_dup]
+    assert len(keeps) == n_orig and len(dups) == n_orig
+    # every duplicate points at the original doc (id < 100000)
+    assert (dups["keeper_doc_id"].astype(int) < 100000).all()
+    assert (dups["doc_id"].astype(int) >= 100000).all()
+    # keeper per fingerprint == batch keep-min rule on the same input
+    batch = (
+        originals.unionByName(clones)
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+        .groupBy(F.md5(F.regexp_replace(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " ")))
+        .agg(F.min(F.col("doc_id").cast("long")).alias("m"))
+    )
+    assert set(keeps["doc_id"].astype(int)) == {
+        r["m"] for r in batch.collect()
+    }
