@@ -667,6 +667,11 @@ def _ann_queries(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
 
 
 def q_ann_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k — the SAMPLED VERIFIER of the ANN
+    stack, not the serving path: its O(Q x N) broadcast nested loop is
+    deliberate and acceptable only because Q is a small probe sample. At
+    scale the serving query is ``ivf_ann_top5`` (equi-join on trained
+    IVF lists); this one exists to measure that path's recall."""
     from oshdb_spark.operators.similarity import cosine_topk
 
     emb, queries = _ann_queries(spark, sf_dir)

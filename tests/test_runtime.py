@@ -161,3 +161,47 @@ def test_orphan_bucket_cleanup(spark, tmp_path, stage_builder):
     res = _mk_stage(tmp_path, snap, wave_size=6).run(spark, stage_builder)
     assert res["written_buckets"] == [3]
     assert spark.read.parquet(str(tmp_path / "out")).count() == total
+
+
+def test_doc_pipeline_job_kill_and_resume(spark, sf_dir, tmp_path):
+    """The end-to-end doc pipeline (exact dedup -> signals -> LSH ->
+    Jaccard -> CC -> keep/drop) through CheckpointedStage: a killed run
+    (fail_after_waves) resumes with only the missing buckets, the final
+    table covers every doc exactly once, and cluster representatives
+    are marked keep."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from run_doc_pipeline import build_pipeline
+
+    from oshdb_spark.runtime import CheckpointedStage, input_snapshot_fingerprint
+
+    snap = input_snapshot_fingerprint(spark, [f"{sf_dir}/documents.parquet"])
+
+    def mk():
+        return CheckpointedStage(
+            out_dir=str(tmp_path / "out"),
+            stage="doc_pipeline",
+            num_buckets=6,
+            bucket_key="doc_id",
+            input_snapshot=snap,
+            wave_size=2,
+            cell=None,
+        )
+
+    killed = mk().run(spark, lambda s: build_pipeline(s, sf_dir), fail_after_waves=1)
+    assert not killed["complete"]
+    assert len(killed["written_buckets"]) == 2
+
+    resumed = mk().run(spark, lambda s: build_pipeline(s, sf_dir))
+    assert resumed["complete"]
+    assert sorted(resumed["skipped_buckets"]) == sorted(killed["written_buckets"])
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert out.count() == n_docs  # every doc decided exactly once
+    pdf = out.toPandas()
+    # representatives keep, members of their cluster share cluster_id
+    assert pdf["keep"].sum() == pdf["cluster_id"].nunique()
+    reps = set(pdf.loc[pdf.keep, "doc_id"])
+    assert set(pdf["cluster_id"]) <= reps
