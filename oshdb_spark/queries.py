@@ -1115,6 +1115,28 @@ def q_docs_roundtrip_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.groupBy("snap_ts").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def q_docs_prefiltered_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same docs-path snapshot WITH the doc-level pre-filter chain
+    engaged (CellIterator.java:199-207 analog): docs are skipped on the
+    tag-key summary column BEFORE the span explode + version window
+    (plan-asserted in tests/test_docs.py), then the exact per-version
+    filter runs after decode. The oracle is the plain versions-path
+    snapshot SQL — equality proves the pre-filter is conservative
+    (skips rows, never results)."""
+    from oshdb_spark.sources.docs import (
+        docs_to_versions,
+        prefilter_docs,
+        versions_to_docs,
+    )
+
+    v = load_versions(spark, sf_dir)
+    docs = prefilter_docs(versions_to_docs(v), tag_key=1)
+    v2 = docs_to_versions(docs)
+    t = snapshot_timestamps(spark, SNAPSHOT_TS)
+    snap = snapshots(v2, t, predicate=(F.col("tag_building") == 1))
+    return snap.groupBy("snap_ts").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 # ---------------------------------------------------------------------------
 # text quality + pairwise similarity (oracle-backed)
 # ---------------------------------------------------------------------------
@@ -2042,6 +2064,109 @@ def o_relation_mod_ts() -> str:
     """
 
 
+def q_relation_contrib_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution view over RELATIONS including member-induced
+    changes (CellIterator.java:437-711 + OSHEntities.java:315-478): own
+    version transitions classify through the same parameterized
+    ``contributions()`` operator (geometry = the version-derived rect
+    extents), and member way changes inside the relation's lifetime
+    surface as MEMBER_GEOMETRY_CHANGE at instants where the relation
+    itself did not change (own instants win, the reference's merge
+    rule). Two members changing at one instant are ONE modification
+    (distinct on (rel_id, ts))."""
+    from oshdb_spark.sources.relations import (
+        H_BASE,
+        H_STEP,
+        W_BASE,
+        W_STEP,
+        derive_relations,
+        member_way_ids_col,
+    )
+    from oshdb_spark.sources.ways import WAY_MOD, derive_ways
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rels = derive_relations(ev).withColumn(
+        "rw", (F.lit(W_BASE) + (F.col("version") % 5) * W_STEP).cast("long")
+    ).withColumn(
+        "rh", (F.lit(H_BASE) + (F.col("version") % 3) * H_STEP).cast("long")
+    )
+    own = contributions(
+        rels, collapse=False, entity_col="rel_id", tag_cols=(), geom_cols=("rw", "rh")
+    ).select("rel_id", "ts", "contrib_type")
+
+    first = rels.groupBy("rel_id").agg(F.min("ts").alias("first_ts"))
+    members = first.select(
+        "rel_id", "first_ts", F.explode(member_way_ids_col(WAY_MOD)).alias("way_id")
+    )
+    way_ts = derive_ways(ev).select("way_id", "ts")
+    member_instants = (
+        members.join(way_ts, "way_id")
+        .filter(F.col("ts") >= F.col("first_ts"))
+        .select("rel_id", "ts")
+        .distinct()
+        .join(rels.select("rel_id", "ts"), ["rel_id", "ts"], "left_anti")
+        .withColumn("contrib_type", F.lit("MEMBER_GEOMETRY_CHANGE"))
+    )
+    return (
+        own.unionByName(member_instants)
+        .groupBy("contrib_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def o_relation_contrib_counts() -> str:
+    from oshdb_spark.sources.relations import (
+        H_BASE,
+        H_STEP,
+        W_BASE,
+        W_STEP,
+        member_way_ids_sql,
+        relations_sql,
+    )
+    from oshdb_spark.sources.ways import WAY_MOD, ways_sql
+
+    formulas = ", ".join(member_way_ids_sql(WAY_MOD))
+    return f"""WITH r0 AS ({relations_sql()}), wy AS ({ways_sql()}),
+    r AS (
+      SELECT *, {W_BASE} + (version % 5) * {W_STEP} AS rw,
+             {H_BASE} + (version % 3) * {H_STEP} AS rh
+      FROM r0
+    ),
+    l AS (
+      SELECT *, lag(visible) OVER win AS pv,
+             lag(rw) OVER win AS prw, lag(rh) OVER win AS prh
+      FROM r WINDOW win AS (PARTITION BY rel_id ORDER BY version)
+    ),
+    own AS (
+      SELECT rel_id, ts,
+        CASE WHEN visible AND NOT coalesce(pv, FALSE) THEN 'CREATION'
+             WHEN NOT visible AND coalesce(pv, FALSE) THEN 'DELETION'
+             WHEN visible AND coalesce(pv, FALSE)
+                  AND (rw <> prw OR rh <> prh) THEN 'GEOMETRY_CHANGE'
+             WHEN visible AND coalesce(pv, FALSE) THEN 'OTHER'
+             ELSE NULL END AS contrib_type
+      FROM l
+    ),
+    firstv AS (SELECT rel_id, min(ts) AS first_ts FROM r0 GROUP BY 1),
+    mem AS (
+      SELECT f.rel_id, f.first_ts, u.way_id
+      FROM firstv f, LATERAL (SELECT unnest([{formulas}]) AS way_id) u
+    ),
+    minst AS (
+      SELECT DISTINCT m.rel_id, w.ts
+      FROM mem m JOIN wy w ON w.way_id = m.way_id
+      WHERE w.ts >= m.first_ts
+      AND NOT EXISTS (SELECT 1 FROM r0 WHERE r0.rel_id = m.rel_id AND r0.ts = w.ts)
+    ),
+    u AS (
+      SELECT contrib_type FROM own WHERE contrib_type IS NOT NULL
+      UNION ALL
+      SELECT 'MEMBER_GEOMETRY_CHANGE' AS contrib_type FROM minst
+    )
+    SELECT contrib_type, count(*) AS cnt FROM u GROUP BY 1
+    """
+
+
 def q_way_contrib_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contribution view over way geometries through the SAME
     ``contributions()`` operator as nodes (parameterized entity/geom
@@ -2129,27 +2254,47 @@ def q_type_counts_at_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """osmType filter / union-all of per-type tables (the reference
     scans grid_node + grid_way + grid_relation and unions them,
     MapReducerJdbc.java:53-59; osmType() selects which,
-    MapReducer.java:403-412): node-entity and way-entity snapshots
-    unioned with a type tag and counted per type."""
+    MapReducer.java:403-412): node, way, AND relation snapshots unioned
+    with a type tag and counted per type — all three entity kinds."""
+    from oshdb_spark.sources.relations import derive_relations
+
     v = load_versions(spark, sf_dir)
     t = snapshot_timestamps(spark, [TILE_TS])
     nodes = snapshots(v, t).select(F.lit("node").alias("osm_type"))
     ways = _ways_asof(spark, sf_dir).select(F.lit("way").alias("osm_type"))
-    return nodes.unionByName(ways).groupBy("osm_type").agg(
-        F.count(F.lit(1)).alias("cnt")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rels = (
+        derive_relations(ev)
+        .filter(
+            F.col("visible")
+            & (F.lit(TILE_TS) >= F.col("ts"))
+            & (F.col("valid_to").isNull() | (F.lit(TILE_TS) < F.col("valid_to")))
+        )
+        .select(F.lit("relation").alias("osm_type"))
+    )
+    return (
+        nodes.unionByName(ways)
+        .unionByName(rels)
+        .groupBy("osm_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
 def o_type_counts_at_ts() -> str:
+    from oshdb_spark.sources.relations import relations_sql
     from oshdb_spark.sources.ways import ways_sql
 
     return f"""{_validity_cte()},
     wy AS ({ways_sql()}),
+    rl AS ({relations_sql()}),
     u AS (
       SELECT 'node' AS osm_type FROM w
       WHERE w.visible AND {TILE_TS} >= w.ts AND (w.valid_to IS NULL OR {TILE_TS} < w.valid_to)
       UNION ALL
       SELECT 'way' AS osm_type FROM wy
+      WHERE visible AND {TILE_TS} >= ts AND (valid_to IS NULL OR {TILE_TS} < valid_to)
+      UNION ALL
+      SELECT 'relation' AS osm_type FROM rl
       WHERE visible AND {TILE_TS} >= ts AND (valid_to IS NULL OR {TILE_TS} < valid_to)
     )
     SELECT osm_type, count(*) AS cnt FROM u GROUP BY 1
@@ -2763,6 +2908,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unknown_tag_zero": q_unknown_tag_zero,
     "entity_bbox_area": q_entity_bbox_area,
     "docs_roundtrip_snapshot": q_docs_roundtrip_snapshot,
+    "docs_prefiltered_snapshot": q_docs_prefiltered_snapshot,
     "quality_buckets": q_quality_buckets,
     "word_jaccard_pairs": q_word_jaccard_pairs,
     "embed_neardup_pairs": q_embed_neardup_pairs,
@@ -2788,6 +2934,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "way_kind_measures": q_way_kind_measures,
     "relation_mod_ts": q_relation_mod_ts,
     "way_concave_clipped_length": q_way_concave_clipped_length,
+    "relation_contrib_counts": q_relation_contrib_counts,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_segment": q_top_orders_per_segment,
@@ -2830,6 +2977,8 @@ ORACLES: dict[str, str] = {
     # the docs round-trip must equal the plain versions-path snapshot:
     # that equality IS the lossless-encode/decode proof
     "docs_roundtrip_snapshot": o_snapshot_count_by_ts(),
+    # pre-filter must be invisible in results: same oracle as the plain path
+    "docs_prefiltered_snapshot": o_snapshot_count_by_ts(),
     "quality_buckets": o_quality_buckets(),
     "word_jaccard_pairs": o_word_jaccard_pairs(),
     "embed_neardup_pairs": o_embed_neardup_pairs(),
@@ -2855,6 +3004,7 @@ ORACLES: dict[str, str] = {
     "way_kind_measures": o_way_kind_measures(),
     "relation_mod_ts": o_relation_mod_ts(),
     "way_concave_clipped_length": o_way_concave_clipped_length(),
+    "relation_contrib_counts": o_relation_contrib_counts(),
     "pricing_summary": o_pricing_summary(),
     "revenue_by_nation": o_revenue_by_nation(),
     "top_orders_per_segment": o_top_orders_per_segment(),

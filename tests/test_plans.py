@@ -33,15 +33,17 @@ def test_events_scan_prunes_columns(spark, sf_dir):
         assert unused not in head, unused
 
 
-def test_documents_filter_pushed_to_scan(spark, sf_dir):
+def test_parquet_filter_pushed_to_scan(spark, sf_dir):
     """A source-column predicate lands in PushedFilters of the parquet
-    scan (Catalyst pushdown, free at 100 TB)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
-        F.col("source") == "web"
+    scan (Catalyst pushdown, free at 100 TB). Uses a table no fixture
+    caches — a cached InMemoryRelation would satisfy the same plan
+    subtree and hide the FileScan (order-dependent otherwise)."""
+    df = spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
+        F.col("n_regionkey") == 1
     )
-    plan = _physical(docs)
+    plan = _physical(df)
     assert "PushedFilters" in plan
-    assert "EqualTo(source,web)" in plan.replace(" ", "")
+    assert "EqualTo(n_regionkey,1)" in plan.replace(" ", "")
 
 
 def test_snapshot_probe_is_broadcast(spark, sf_dir):
