@@ -23,7 +23,7 @@ from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def build_pipeline(spark: SparkSession, sf_dir: str):
+def build_pipeline(spark: SparkSession, sf_dir: str, docs=None):
     from oshdb_spark.operators.dedup import (
         connected_components,
         jaccard_verify,
@@ -36,42 +36,63 @@ def build_pipeline(spark: SparkSession, sf_dir: str):
         token_count_col,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if docs is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    # 1. exact dedup: keep the min doc_id per fingerprint
+    # 1. exact dedup: min doc_id per fingerprint is the exact keeper;
+    # every doc (keeper or exact dup) gets a decision row — dups carry
+    # the keeper as their cluster and stop here, only keepers continue
+    # into the (expensive) near-dup stage
     fp = docs.withColumn("fingerprint", fingerprint_col(F.col("text")))
-    keep_w = F.min("doc_id").over(Window.partitionBy("fingerprint"))
-    exact_kept = fp.withColumn("_keep", keep_w).filter(
-        F.col("doc_id") == F.col("_keep")
-    ).drop("_keep")
+    fp = fp.withColumn(
+        "_exact_keeper", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    )
 
-    # 2. quality / language signals (all Column exprs)
+    # 2. quality / language signals (all Column exprs) for every doc
     q = quality_cols(F.col("text"))
     scored = (
-        exact_kept.withColumn("n_tokens", token_count_col(F.col("text")))
+        fp.withColumn("n_tokens", token_count_col(F.col("text")))
         .withColumn("punct_ratio", q["punct_ratio"])
         .withColumn("lang", lang_id_col(F.col("text")))
     )
+    keepers = scored.filter(F.col("doc_id") == F.col("_exact_keeper"))
+    exact_dups = scored.filter(F.col("doc_id") != F.col("_exact_keeper"))
 
-    # 3. near-dup clustering: LSH candidates -> exact Jaccard -> CC
-    cands = minhash_candidates(scored)
-    pairs = jaccard_verify(scored, cands, threshold=0.7)
-    nodes = scored.select(F.col("doc_id").alias("id"))
+    # 3. near-dup clustering over keepers: LSH -> exact Jaccard -> CC
+    cands = minhash_candidates(keepers)
+    pairs = jaccard_verify(keepers, cands, threshold=0.7)
+    nodes = keepers.select(F.col("doc_id").alias("id"))
     clusters = connected_components(nodes, pairs, max_iter=8)
 
-    # 4. final decision: keep = cluster representative (min id)
-    out = (
-        scored.join(clusters, scored["doc_id"] == clusters["id"], "left")
-        .withColumn(
-            "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
-        )
+    # 4. final decision: keep = cluster representative (min id); exact
+    # dups resolve to their keeper's row (keep=False, lineage intact)
+    cols = [
+        "doc_id", "source", "fingerprint", "n_tokens", "punct_ratio",
+        "lang", "cluster_id", "keep",
+    ]
+    keeper_rows = (
+        keepers.join(clusters, keepers["doc_id"] == clusters["id"], "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
         .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
-        .select(
-            "doc_id", "source", "fingerprint", "n_tokens", "punct_ratio",
-            "lang", "cluster_id", "keep",
-        )
+        .select(*cols)
     )
-    return out
+    # exact dups resolve to the FINAL representative: their exact keeper
+    # may itself have been absorbed into a near-dup cluster, so follow
+    # one hop (cluster ids are fixpoints after CC, so one hop suffices)
+    keeper_final = keeper_rows.select(
+        F.col("doc_id").alias("_kid"), F.col("cluster_id").alias("_final")
+    )
+    dup_rows = (
+        exact_dups.join(
+            keeper_final, exact_dups["_exact_keeper"] == F.col("_kid"), "left"
+        )
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("_final"), F.col("_exact_keeper"))
+        )
+        .withColumn("keep", F.lit(False))
+        .select(*cols)
+    )
+    return keeper_rows.unionByName(dup_rows)
 
 
 def main() -> None:

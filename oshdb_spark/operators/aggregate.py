@@ -47,14 +47,21 @@ def zerofill(
     universes: list[DataFrame],
     value_cols: dict[str, float],
 ) -> DataFrame:
-    """Right-join ``grouped`` against the cross product of key-universe
-    DataFrames, coalescing each value column to its identity. The
-    broadcast side is the *universe* (a few literal keys by
-    construction), never the grouped results, whose size grows with the
-    data — safe at any scale."""
+    """Right-outer-join ``grouped`` against the cross product of
+    key-universe DataFrames (universe rows preserved), coalescing each
+    value column to its identity.
+
+    Scale shape: NO broadcast hint on purpose. Spark can only build the
+    non-preserved side of an outer join, which here is the unbounded
+    ``grouped`` — a forced broadcast would either be silently dropped
+    (verified: the hint on the preserved side plans as SortMergeJoin
+    anyway) or, worse, broadcast the growing side. Unhinted, the join
+    shuffles on the very keys ``grouped`` was just aggregated on, so
+    its exchange is reused and only the tiny universe actually moves;
+    AQE remains free to broadcast ``grouped`` when it measures small."""
     universe = _reduce(lambda a, b: a.crossJoin(b), universes)
     keys = [c for u in universes for c in u.columns]
-    out = grouped.join(F.broadcast(universe), on=keys, how="right")
+    out = grouped.join(universe, on=keys, how="right")
     for col, identity in value_cols.items():
         out = out.withColumn(col, F.coalesce(F.col(col), F.lit(identity)))
     return out

@@ -77,43 +77,56 @@ def _ring_signed_area_m2(lon_e7: list[int], lat_e7: list[int]) -> float:
 def _assemble(arcs: list[dict]) -> dict:
     """Chain arcs into closed rings (the OSHDBGeometryBuilder.java
     endpoint-matching loop, re-derived): pick the first unused arc in
-    deterministic order, extend the open end by any arc sharing its
-    endpoint (reversed if stored backwards), close, repeat."""
-    order = sorted(
-        range(len(arcs)),
-        key=lambda i: (
-            int(arcs[i]["arc_idx"]),
-            int(arcs[i]["lon_arr"][0]),
-            int(arcs[i]["lat_arr"][0]),
-        ),
-    )
-    unused: dict[int, dict] = {i: arcs[i] for i in order}
-    rings, closed_all = [], True
-    while unused:
-        i0 = next(iter(sorted(unused, key=lambda i: order.index(i))))
-        a = unused.pop(i0)
-        role = a["role"]
+    deterministic order, extend the open end by the arc sharing its
+    endpoint (reversed if stored backwards), close, repeat.
+
+    O(total arcs) via an endpoint index: (role, point) -> candidate arc
+    ranks, so coastline-style relations with thousands of members cost
+    one dict probe per extension, not a linear scan. Rank order (by
+    arc_idx then first vertex) breaks every tie deterministically."""
+    parsed = []
+    for a in arcs:
         lon = [int(v) for v in a["lon_arr"]]
         lat = [int(v) for v in a["lat_arr"]]
+        parsed.append((a["role"], lon, lat))
+    order = sorted(
+        range(len(parsed)),
+        key=lambda i: (int(arcs[i]["arc_idx"]), parsed[i][1][0], parsed[i][2][0]),
+    )
+    rank_of = {i: r for r, i in enumerate(order)}
+    # endpoint index: (role, point) -> sorted list of arc ids touching it
+    by_end: dict[tuple, list[int]] = {}
+    for i, (role, lon, lat) in enumerate(parsed):
+        for pt in {(lon[0], lat[0]), (lon[-1], lat[-1])}:
+            by_end.setdefault((role, pt), []).append(i)
+    for lst in by_end.values():
+        lst.sort(key=rank_of.__getitem__)
+    used = [False] * len(parsed)
+    rings, closed_all = [], True
+    for start in order:
+        if used[start]:
+            continue
+        used[start] = True
+        role, alon, alat = parsed[start]
+        lon, lat = list(alon), list(alat)
         while (lon[0], lat[0]) != (lon[-1], lat[-1]):
             end = (lon[-1], lat[-1])
             nxt = None
-            for j, b in unused.items():
-                if b["role"] != role:
-                    continue
-                bl, bt = [int(v) for v in b["lon_arr"]], [int(v) for v in b["lat_arr"]]
-                if (bl[0], bt[0]) == end:
-                    nxt, seg = j, (bl[1:], bt[1:])
-                    break
-                if (bl[-1], bt[-1]) == end:
-                    nxt, seg = j, (bl[-2::-1], bt[-2::-1])
+            for j in by_end.get((role, end), ()):
+                if not used[j]:
+                    nxt = j
                     break
             if nxt is None:
                 closed_all = False  # dangling member: emit unclosed ring
                 break
-            unused.pop(nxt)
-            lon += seg[0]
-            lat += seg[1]
+            used[nxt] = True
+            _, bl, bt = parsed[nxt]
+            if (bl[0], bt[0]) == end:
+                lon += bl[1:]
+                lat += bt[1:]
+            else:
+                lon += bl[-2::-1]
+                lat += bt[-2::-1]
         rings.append({"role": role, "lon": lon, "lat": lat})
     # hole-aware area in ring order: sum of |outer| first, then - |inner|
     outer_acc = 0.0

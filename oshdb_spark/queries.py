@@ -274,6 +274,18 @@ def o_agg_zerofill_ts_tagv() -> str:
 TILE_TS = SNAPSHOT_TS[-1]
 
 
+def _asof_visible(df: DataFrame, ts: int = TILE_TS) -> DataFrame:
+    """Visible rows whose half-open validity interval [ts, valid_to)
+    contains ``ts`` — THE as-of convention of every entity kind; keep
+    this single definition (a boundary-direction edit must hit all
+    callers at once)."""
+    return df.filter(
+        F.col("visible")
+        & (F.lit(ts) >= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.lit(ts) < F.col("valid_to")))
+    )
+
+
 def _snapshot_at(spark: SparkSession, sf_dir: str, ts: int) -> DataFrame:
     v = load_versions(spark, sf_dir)
     t = snapshot_timestamps(spark, [ts])
@@ -1594,11 +1606,7 @@ def _ways_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ways = docs_to_ways(ways_to_docs(derive_ways(ev)))
-    return ways.filter(
-        F.col("visible")
-        & (F.lit(TILE_TS) >= F.col("ts"))
-        & (F.col("valid_to").isNull() | (F.lit(TILE_TS) < F.col("valid_to")))
-    )
+    return ways.transform(_asof_visible)
 
 
 def _ways_oracle_asof_cte() -> str:
@@ -1786,11 +1794,7 @@ def q_way_kind_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oshdb_spark.sources.ways import derive_ways, with_way_tags
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    asof = derive_ways(ev).filter(
-        F.col("visible")
-        & (F.lit(TILE_TS) >= F.col("ts"))
-        & (F.col("valid_to").isNull() | (F.lit(TILE_TS) < F.col("valid_to")))
-    )
+    asof = derive_ways(ev).transform(_asof_visible)
     w = with_way_tags(asof)
     lon_arr, lat_arr = F.col("lon_arr"), F.col("lat_arr")
     kind = way_geom_kind_col(F.col("tags"), lon_arr, lat_arr)
@@ -1899,11 +1903,7 @@ def q_relation_mp_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oshdb_spark.sources.relations import derive_relation_members
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    m = derive_relation_members(ev).filter(
-        F.col("visible")
-        & (F.lit(TILE_TS) >= F.col("ts"))
-        & (F.col("valid_to").isNull() | (F.lit(TILE_TS) < F.col("valid_to")))
-    )
+    m = derive_relation_members(ev).transform(_asof_visible)
     mp = assemble_multipolygons(collect_member_arcs(m))
     return mp.select(
         "rel_id",
@@ -1976,11 +1976,7 @@ def q_relation_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    m = derive_relation_members(ev).filter(
-        F.col("visible")
-        & (F.lit(TILE_TS) >= F.col("ts"))
-        & (F.col("valid_to").isNull() | (F.lit(TILE_TS) < F.col("valid_to")))
-    )
+    m = derive_relation_members(ev).transform(_asof_visible)
     mp = assemble_multipolygons(collect_member_arcs(m))
     x0 = (F.col("rel_id") * LON_A % LON_SPAN - LON_OFF).cast("long")
     y0 = (F.col("rel_id") * LAT_A % LAT_SPAN - LAT_OFF).cast("long")
@@ -2005,22 +2001,16 @@ def o_relation_pip() -> str:
     """
 
 
-def q_relation_mod_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """getModificationTimestamps with child-induced changes
-    (OSHEntities.java:315-478): a relation's modification instants are
-    its OWN version timestamps plus every member way's version
-    timestamps inside the relation's lifetime — the normalized member
-    as-of join (members referenced by id, resolved against the ways
-    table; membership is version-stable in this fixture so the validity
-    window is the relation's whole lifetime). One equi-join on way_id +
-    one distinct-count aggregation; at scale both shuffle on their
-    natural keys."""
+def _relation_member_instants(spark: SparkSession, sf_dir: str):
+    """Shared member-resolution preamble of the relation history
+    queries: (relation versions, member-way change instants inside the
+    relation's lifetime as (rel_id, ts) rows — NOT deduplicated; each
+    caller decides its own distinct/merge rule)."""
     from oshdb_spark.sources.relations import derive_relations, member_way_ids_col
     from oshdb_spark.sources.ways import WAY_MOD, derive_ways
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     rels = derive_relations(ev)
-    own = rels.select("rel_id", "ts")
     first = rels.groupBy("rel_id").agg(F.min("ts").alias("first_ts"))
     members = first.select(
         "rel_id", "first_ts", F.explode(member_way_ids_col(WAY_MOD)).alias("way_id")
@@ -2031,6 +2021,21 @@ def q_relation_mod_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") >= F.col("first_ts"))
         .select("rel_id", "ts")
     )
+    return rels, child
+
+
+def q_relation_mod_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getModificationTimestamps with child-induced changes
+    (OSHEntities.java:315-478): a relation's modification instants are
+    its OWN version timestamps plus every member way's version
+    timestamps inside the relation's lifetime — the normalized member
+    as-of join (members referenced by id, resolved against the ways
+    table; membership is version-stable in this fixture so the validity
+    window is the relation's whole lifetime). One equi-join on way_id +
+    one distinct-count aggregation; at scale both shuffle on their
+    natural keys."""
+    rels, child = _relation_member_instants(spark, sf_dir)
+    own = rels.select("rel_id", "ts")
     return (
         own.unionByName(child)
         .groupBy("rel_id")
@@ -2074,18 +2079,10 @@ def q_relation_contrib_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself did not change (own instants win, the reference's merge
     rule). Two members changing at one instant are ONE modification
     (distinct on (rel_id, ts))."""
-    from oshdb_spark.sources.relations import (
-        H_BASE,
-        H_STEP,
-        W_BASE,
-        W_STEP,
-        derive_relations,
-        member_way_ids_col,
-    )
-    from oshdb_spark.sources.ways import WAY_MOD, derive_ways
+    from oshdb_spark.sources.relations import H_BASE, H_STEP, W_BASE, W_STEP
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    rels = derive_relations(ev).withColumn(
+    rels, child = _relation_member_instants(spark, sf_dir)
+    rels = rels.withColumn(
         "rw", (F.lit(W_BASE) + (F.col("version") % 5) * W_STEP).cast("long")
     ).withColumn(
         "rh", (F.lit(H_BASE) + (F.col("version") % 3) * H_STEP).cast("long")
@@ -2094,16 +2091,8 @@ def q_relation_contrib_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         rels, collapse=False, entity_col="rel_id", tag_cols=(), geom_cols=("rw", "rh")
     ).select("rel_id", "ts", "contrib_type")
 
-    first = rels.groupBy("rel_id").agg(F.min("ts").alias("first_ts"))
-    members = first.select(
-        "rel_id", "first_ts", F.explode(member_way_ids_col(WAY_MOD)).alias("way_id")
-    )
-    way_ts = derive_ways(ev).select("way_id", "ts")
     member_instants = (
-        members.join(way_ts, "way_id")
-        .filter(F.col("ts") >= F.col("first_ts"))
-        .select("rel_id", "ts")
-        .distinct()
+        child.distinct()
         .join(rels.select("rel_id", "ts"), ["rel_id", "ts"], "left_anti")
         .withColumn("contrib_type", F.lit("MEMBER_GEOMETRY_CHANGE"))
     )
@@ -2265,11 +2254,7 @@ def q_type_counts_at_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     rels = (
         derive_relations(ev)
-        .filter(
-            F.col("visible")
-            & (F.lit(TILE_TS) >= F.col("ts"))
-            & (F.col("valid_to").isNull() | (F.lit(TILE_TS) < F.col("valid_to")))
-        )
+        .transform(_asof_visible)
         .select(F.lit("relation").alias("osm_type"))
     )
     return (

@@ -100,26 +100,38 @@ def load_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return derive_versions(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def conditional_tags_map(entries) -> F.Column:
+    """map<int,int> from (key, present Column, value Column) triples:
+    absent keys become null structs dropped by the filter, so entry
+    order (and therefore map_entries order) stays key-ascending. Shared
+    by the node tag model here and the way tag model
+    (sources/ways.with_way_tags)."""
+    arr = F.array(
+        *[
+            F.when(
+                present,
+                F.struct(
+                    F.lit(k).cast("int").alias("key"),
+                    value.cast("int").alias("value"),
+                ),
+            )
+            for k, present, value in entries
+        ]
+    )
+    return F.map_from_entries(F.filter(arr, lambda e: e.isNotNull()))
+
+
 def _tags_map_col(eid, entity) -> F.Column:
     """The tags map<int,int> column — Spark mirror of TAG_PRESENT_SQL /
-    TAG_VALUE_SQL (pure Column exprs; entries for absent keys are null
-    structs dropped by the filter, so keys stay ascending)."""
-
-    def entry(k: int, present, value):
-        return F.when(
-            present,
-            F.struct(
-                F.lit(k).cast("int").alias("key"), value.cast("int").alias("value")
-            ),
-        )
-
-    entries = F.array(
-        entry(1, entity % 3 == 0, F.lit(1) + entity % 2),
-        entry(2, F.lit(True), eid % 5),
-        entry(3, entity % 4 == 1, F.lit(10) + eid % 3),
-        entry(4, eid % 2 == 0, eid % 13),
+    TAG_VALUE_SQL."""
+    return conditional_tags_map(
+        [
+            (1, entity % 3 == 0, F.lit(1) + entity % 2),
+            (2, F.lit(True), eid % 5),
+            (3, entity % 4 == 1, F.lit(10) + eid % 3),
+            (4, eid % 2 == 0, eid % 13),
+        ]
     )
-    return F.map_from_entries(F.filter(entries, lambda e: e.isNotNull()))
 
 
 def derive_versions(ev: DataFrame, entity_mod: int = ENTITY_MOD) -> DataFrame:

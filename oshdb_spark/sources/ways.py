@@ -92,30 +92,19 @@ def with_way_tags(ways: DataFrame) -> DataFrame:
     TagInterpreter fixture decoration (leaves the base way table, and
     therefore every existing oracle, untouched)."""
     from oshdb_spark.functions.taginterpreter import AREA_KEY, BUILDING_KEY, HIGHWAY_KEY
+    from oshdb_spark.sources.versions import conditional_tags_map
 
     wid = F.col("way_id")
-
-    def entry(k: int, present, value):
-        return F.when(
-            present,
-            F.struct(
-                F.lit(k).cast("int").alias("key"), value.cast("int").alias("value")
+    tags = conditional_tags_map(
+        [
+            (BUILDING_KEY, wid % WAY_BUILDING_MOD == 0, F.lit(1)),
+            (
+                AREA_KEY,
+                wid % WAY_AREA_MOD == 0,
+                F.when(wid % WAY_AREA_YES_MOD == 0, F.lit(1)).otherwise(F.lit(0)),
             ),
-        )
-
-    tags = F.map_from_entries(
-        F.filter(
-            F.array(
-                entry(BUILDING_KEY, wid % WAY_BUILDING_MOD == 0, F.lit(1)),
-                entry(
-                    AREA_KEY,
-                    wid % WAY_AREA_MOD == 0,
-                    F.when(wid % WAY_AREA_YES_MOD == 0, F.lit(1)).otherwise(F.lit(0)),
-                ),
-                entry(HIGHWAY_KEY, wid % WAY_HIGHWAY_MOD == 1, F.lit(1)),
-            ),
-            lambda e: e.isNotNull(),
-        )
+            (HIGHWAY_KEY, wid % WAY_HIGHWAY_MOD == 1, F.lit(1)),
+        ]
     )
     closed = wid % WAY_CLOSED_MOD == 0
     close = lambda arr: F.when(  # noqa: E731

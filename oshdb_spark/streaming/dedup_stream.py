@@ -41,15 +41,19 @@ def _update_fingerprint(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     keeper, dups = (state.get if state.exists else (None, 0))
+    # the group arrives as an ITERATOR of Arrow chunks: normalize order
+    # over the WHOLE micro-batch group (a hot fingerprint can span
+    # chunks; per-chunk sorting would pick the keeper from the first
+    # chunk only, and chunk boundaries vary across runs)
+    whole = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
     out = []
-    for pdf in pdfs:
-        for row in pdf.sort_values("doc_id").itertuples(index=False):
-            if keeper is None:
-                keeper = str(row.doc_id)
-                out.append((row.doc_id, key[0], keeper, False))
-            else:
-                dups = int(dups) + 1
-                out.append((row.doc_id, key[0], keeper, True))
+    for row in whole.itertuples(index=False):
+        if keeper is None:
+            keeper = str(row.doc_id)
+            out.append((row.doc_id, key[0], keeper, False))
+        else:
+            dups = int(dups) + 1
+            out.append((row.doc_id, key[0], keeper, True))
     state.update((keeper, int(dups)))
     if out:
         yield pd.DataFrame(

@@ -112,13 +112,29 @@ def test_ivf_candidate_join_is_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in brute  # documented: the verifier
 
 
-def test_zerofill_broadcasts_universe_not_results(spark, sf_dir):
-    """The zerofill right-join must broadcast the literal key universe
-    (tiny), never the grouped results (grows with data)."""
-    from oshdb_spark.queries import q_agg_zerofill_ts_tagv
+def test_zerofill_join_has_no_forced_broadcast(spark, sf_dir):
+    """zerofill must not FORCE a broadcast: Spark can only build the
+    non-preserved (= unbounded grouped) side of the outer join, so any
+    hint either gets dropped or broadcasts the growing side. The join
+    must be an unhinted outer join on the aggregation keys (exchange
+    reuse makes it cheap; AQE may still choose a broadcast at runtime
+    when the measured size is small — that is fine, forcing it is not)."""
+    from oshdb_spark.operators.aggregate import zerofill
+    from oshdb_spark.operators.snapshot import lit_df
 
-    plan = _physical(q_agg_zerofill_ts_tagv(spark, sf_dir))
-    # the broadcast side carries the literal explode of the universe
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-    opt = _optimized(q_agg_zerofill_ts_tagv(spark, sf_dir))
-    assert "RightOuter" in opt or "LeftOuter" in opt
+    grouped = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    real = sorted(r["source"] for r in grouped.select("source").collect())[:3]
+    universe = lit_df(spark, "source", real + ["zz_missing"], "string")
+    filled = zerofill(grouped, [universe], {"cnt": 0})
+    analyzed = filled._jdf.queryExecution().analyzed().toString()
+    assert "hint" not in analyzed.lower()  # no forced build side anywhere
+    opt = _optimized(filled)
+    assert "RightOuter" in opt
+    # semantics: the missing key materializes with the identity
+    rows = {r["source"]: r["cnt"] for r in filled.collect()}
+    assert rows.get("zz_missing") == 0 and len(rows) == 4
+    assert all(rows[s] > 0 for s in real)

@@ -205,3 +205,29 @@ def test_doc_pipeline_job_kill_and_resume(spark, sf_dir, tmp_path):
     assert pdf["keep"].sum() == pdf["cluster_id"].nunique()
     reps = set(pdf.loc[pdf.keep, "doc_id"])
     assert set(pdf["cluster_id"]) <= reps
+
+
+def test_doc_pipeline_decides_every_exact_duplicate(spark, sf_dir):
+    """Planted byte-identical clones must still get a decision row
+    (keep=False, cluster = the exact keeper) — exact dups are dropped
+    from the expensive near-dup stage, never from the output."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from run_doc_pipeline import build_pipeline
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 50)
+    )
+    clones = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    out = build_pipeline(spark, sf_dir, docs=base.unionByName(clones)).toPandas()
+    assert len(out) == 2 * base.count()  # every doc decided
+    clones_out = out[out.doc_id >= 100000]
+    assert (~clones_out["keep"]).all()
+    assert (clones_out["cluster_id"] < 100000).all()  # exact keeper lineage
+    # originals all keep (no near-dups among the distinct 50)
+    orig_out = out[out.doc_id < 100000]
+    assert orig_out["keep"].sum() == orig_out["cluster_id"].nunique()
