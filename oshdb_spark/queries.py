@@ -1984,20 +1984,29 @@ def q_relation_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rw8 = (F.lit(W_BASE // 8) + (F.col("version") % 5) * (W_STEP // 8)).cast("long")
     rh2 = (F.lit(H_BASE // 2) + (F.col("version") % 3) * (H_STEP // 2)).cast("long")
     rw2 = (F.lit(W_BASE // 2) + (F.col("version") % 5) * (W_STEP // 2)).cast("long")
+    rw = (F.lit(W_BASE) + (F.col("version") % 5) * W_STEP).cast("long")
     probed = multipolygon_contains(mp, x0 + rw8, y0 + rh2, out_col="in_ring")
     probed = multipolygon_contains(probed, x0 + rw2, y0 + rh2, out_col="in_hole")
-    return probed.select("rel_id", "in_ring", "in_hole")
+    # second-shell probe (center of the offset rect): TRUE only for the
+    # two-shell relations — a data-dependent answer the oracle predicts
+    # from rel_id arithmetic, so the gate cannot be satisfied trivially
+    probed = multipolygon_contains(
+        probed, x0 + rw * 2 + rw2, y0 + rh2, out_col="in_shell2"
+    )
+    return probed.select("rel_id", "in_ring", "in_hole", "in_shell2")
 
 
 def o_relation_pip() -> str:
-    from oshdb_spark.sources.relations import relations_sql
+    from oshdb_spark.sources.relations import SECOND_SHELL_MOD, relations_sql
 
     return f"""WITH r AS ({relations_sql()}),
     ao AS (
       SELECT * FROM r
       WHERE visible AND {TILE_TS} >= ts AND (valid_to IS NULL OR {TILE_TS} < valid_to)
     )
-    SELECT rel_id, TRUE AS in_ring, FALSE AS in_hole FROM ao
+    SELECT rel_id, TRUE AS in_ring, FALSE AS in_hole,
+           rel_id % {SECOND_SHELL_MOD} = 0 AS in_shell2
+    FROM ao
     """
 
 
