@@ -162,3 +162,39 @@ def test_prefilter_bbox_conservative(spark, sf_dir, docs):
     full = docs_to_versions(docs).filter(in_box).count()
     pre = docs_to_versions(prefilter_docs(docs, bbox=bbox)).filter(in_box).count()
     assert full == pre
+
+
+def test_way_docs_span_signature_preserved_through_tile_stage(spark, sf_dir):
+    """The span-sequence invariant holds for the ways doc table too:
+    decode -> per-segment tile fan-out -> join back re-emits
+    byte-identical span sequences."""
+    from oshdb_spark.sources.docs import span_signature
+    from oshdb_spark.sources.ways import derive_ways, docs_to_ways, ways_to_docs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wdocs = ways_to_docs(derive_ways(ev))
+    sig_before = span_signature(wdocs)
+
+    ways = docs_to_ways(wdocs)
+    staged = (
+        ways.select(
+            F.concat(F.lit("w"), F.col("way_id").cast("string")).alias("doc_id"),
+            F.explode("lon_arr").alias("x"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(wdocs, "doc_id")
+        .select("doc_id", "spans")
+    )
+    sig_after = span_signature(staged)
+    diff = (
+        sig_before.alias("a")
+        .join(sig_after.alias("b"), "doc_id", "full")
+        .filter(
+            F.col("a.span_sig").isNull()
+            | F.col("b.span_sig").isNull()
+            | (F.col("a.span_sig") != F.col("b.span_sig"))
+        )
+        .count()
+    )
+    assert diff == 0
