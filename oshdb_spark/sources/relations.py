@@ -177,6 +177,159 @@ def derive_relation_members(ev: DataFrame, rel_mod: int = REL_MOD) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# interleaved-doc round trip: ring: span encoding (FIXTURES.md §1/§6)
+# ---------------------------------------------------------------------------
+#   geom span text = "ring:<role>:<lon1>,<lat1>;<lon2>,<lat2>;..."  (one
+#   span per member arc, arc order = arc_idx order within the version)
+
+def relations_to_docs(members: DataFrame) -> DataFrame:
+    """One doc per relation; each version contributes a meta span plus a
+    ``ring:`` geom span per member arc — the third entity kind of the
+    interleaved-document graft (nodes: ``pt:``, ways: ``line:``). Pure
+    Column/HOF encode, one aggregation."""
+    arc_txt = F.concat(
+        F.lit("ring:"),
+        F.col("role"),
+        F.lit(":"),
+        F.array_join(
+            F.zip_with(
+                F.col("lon_arr"),
+                F.col("lat_arr"),
+                lambda lo, la: F.concat_ws(",", lo.cast("string"), la.cast("string")),
+            ),
+            ";",
+        ),
+    )
+    per_version = members.groupBy("rel_id", "version").agg(
+        F.first("ts").alias("ts"),
+        F.first("visible").alias("visible"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("arc_idx"), F.col("ring_hint"), arc_txt.alias("t"))),
+        ).alias("arcs"),
+    )
+    v = F.struct(
+        F.col("version"), F.col("ts"), F.col("visible"), F.col("arcs")
+    )
+    per_rel = per_version.groupBy("rel_id").agg(
+        F.array_sort(
+            F.collect_list(v), lambda a, b: a["version"] - b["version"]
+        ).alias("vs")
+    )
+
+    def spans_of(x):
+        meta = F.struct(
+            F.lit("meta").alias("kind"),
+            F.format_string(
+                "v=%d;ts=%d;cs=0;uid=0;vis=%d;type=relation",
+                x["version"],
+                x["ts"],
+                x["visible"].cast("int"),
+            ).alias("text"),
+            F.lit("").alias("media_ref"),
+        )
+        geoms = F.transform(
+            x["arcs"],
+            lambda a: F.struct(
+                F.lit("geom").alias("kind"),
+                a["t"].alias("text"),
+                F.lit("").alias("media_ref"),
+            ),
+        )
+        return F.concat(F.array(meta), geoms)
+
+    flat = F.flatten(F.transform(F.col("vs"), spans_of))
+    with_offsets = F.transform(
+        flat,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return per_rel.select(
+        F.concat(F.lit("r"), F.col("rel_id").cast("string")).alias("doc_id"),
+        with_offsets.alias("spans"),
+    )
+
+
+def docs_to_relation_members(docs: DataFrame) -> DataFrame:
+    """Decode ``ring:`` docs back to member-arc rows (rel_id, version,
+    ts, valid_to, visible, role, arc_idx, lon_arr, lat_arr) — explode +
+    window + conditional aggregation + re-explode, zero Python. The
+    decoded ``arc_idx`` is the within-version arc ordinal (the encode's
+    arc-sorted position — a deterministic id; the original ring_hint
+    label is fixture metadata assembly never needs)."""
+    s = docs.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.offset").alias("offset"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    s = s.withColumn("vidx", F.sum((F.col("kind") == "meta").cast("int")).over(w))
+
+    meta_re = r"v=(-?\d+);ts=(-?\d+);cs=(-?\d+);uid=(-?\d+);vis=([01]);type=(\w+)"
+    per_version = s.groupBy("doc_id", "vidx").agg(
+        F.max(
+            F.when(
+                F.col("kind") == "meta",
+                F.regexp_extract(F.col("text"), meta_re, 1).cast("int"),
+            )
+        ).alias("version"),
+        F.max(
+            F.when(
+                F.col("kind") == "meta",
+                F.regexp_extract(F.col("text"), meta_re, 2).cast("long"),
+            )
+        ).alias("ts"),
+        (
+            F.max(
+                F.when(
+                    F.col("kind") == "meta",
+                    F.regexp_extract(F.col("text"), meta_re, 5).cast("int"),
+                )
+            )
+            == 1
+        ).alias("visible"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("kind") == "geom", F.struct("offset", "text"))
+            )
+        ).alias("geoms"),
+    )
+    exploded = per_version.select(
+        F.substring(F.col("doc_id"), 2, 100).cast("long").alias("rel_id"),
+        "version",
+        "ts",
+        "visible",
+        F.posexplode(F.col("geoms")).alias("arc_idx", "g"),
+    )
+    body = F.regexp_replace(F.col("g.text"), r"^ring:[a-z]+:", "")
+    coords = F.split(body, ";")
+    out = exploded.select(
+        "rel_id",
+        "version",
+        "ts",
+        "visible",
+        "arc_idx",
+        F.regexp_extract(F.col("g.text"), r"^ring:([a-z]+):", 1).alias("role"),
+        F.transform(coords, lambda p: F.split(p, ",").getItem(0).cast("long")).alias(
+            "lon_arr"
+        ),
+        F.transform(coords, lambda p: F.split(p, ",").getItem(1).cast("long")).alias(
+            "lat_arr"
+        ),
+    )
+    # every version carries every arc ordinal, so the per-(rel, arc)
+    # lead reproduces the version-level validity interval
+    valid_to = F.lead(F.col("ts")).over(
+        Window.partitionBy("rel_id", "arc_idx").orderBy("version")
+    )
+    return out.withColumn("valid_to", valid_to)
+
+
 def relations_sql(rel_mod: int = REL_MOD) -> str:
     """DuckDB CTE body: one row per relation version with the rect
     corner terms expanded symbolically (the oracle computes expected

@@ -209,3 +209,53 @@ def test_ear_clip_random_polygons_partition_area():
 
         tri_sum = sum(shoelace(tx, ty) for tx, ty in tris)
         assert tri_sum == pytest.approx(abs(shoelace(px, py)), rel=1e-9), trial
+
+
+def test_relation_docs_roundtrip_preserves_assembly(spark, sf_dir):
+    """Relations complete the interleaved-doc graft (ring: spans): the
+    encode -> decode round trip feeds assembly to the SAME rings and
+    areas as the direct member table, for every (rel, version)."""
+    from oshdb_spark.operators.relations import (
+        assemble_multipolygons,
+        collect_member_arcs,
+    )
+    from oshdb_spark.sources.relations import (
+        derive_relation_members,
+        docs_to_relation_members,
+        relations_to_docs,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    direct = derive_relation_members(ev).filter(F.col("version") <= 4)
+    decoded = docs_to_relation_members(relations_to_docs(direct))
+
+    def result(members):
+        mp = assemble_multipolygons(collect_member_arcs(members))
+        return {
+            (r["rel_id"], r["version"]): (
+                r["mp"]["n_outer"], r["mp"]["n_inner"],
+                r["mp"]["closed"], round(r["mp"]["area_m2"], 6),
+            )
+            for r in mp.select("rel_id", "version", "mp").collect()
+        }
+
+    a, b = result(direct), result(decoded)
+    assert a == b and len(a) > 0
+    # validity intervals survive the round trip too — only interior
+    # versions compare (the encode saw versions <= 4, so the original
+    # valid_to of version 4 points outside the encoded subset)
+    want = {
+        (r["rel_id"], r["version"]): r["valid_to"]
+        for r in direct.filter(F.col("version") <= 3)
+        .select("rel_id", "version", "valid_to")
+        .distinct()
+        .collect()
+    }
+    got = {
+        (r["rel_id"], r["version"]): r["valid_to"]
+        for r in decoded.filter(F.col("version") <= 3)
+        .select("rel_id", "version", "valid_to")
+        .distinct()
+        .collect()
+    }
+    assert want == got
