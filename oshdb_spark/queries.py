@@ -1895,15 +1895,24 @@ def q_relation_mp_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     is |outer shells| - |inner rings|. Relations with rel_id % 3 == 0
     carry TWO disjoint shells, so assembly must partition arcs into
     rings, not merely order them. The oracle expands the expected area
-    symbolically from the same corner arithmetic."""
+    symbolically from the same corner arithmetic. Like the way queries,
+    the members pass through the FULL interleaved-doc round trip
+    (ring: span encode -> decode), so the gate also verifies the
+    relation codec."""
     from oshdb_spark.operators.relations import (
         assemble_multipolygons,
         collect_member_arcs,
     )
-    from oshdb_spark.sources.relations import derive_relation_members
+    from oshdb_spark.sources.relations import (
+        derive_relation_members,
+        docs_to_relation_members,
+        relations_to_docs,
+    )
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    m = derive_relation_members(ev).transform(_asof_visible)
+    m = docs_to_relation_members(
+        relations_to_docs(derive_relation_members(ev))
+    ).transform(_asof_visible)
     mp = assemble_multipolygons(collect_member_arcs(m))
     return mp.select(
         "rel_id",
