@@ -524,6 +524,140 @@ def o_agg_by_polygon_region() -> str:
     """
 
 
+CLIP_REGIONS = ["diamond", "west", "east", "null_tri"]
+
+
+def _ccw_poly(lon, lat):
+    """Normalize a ring to CCW (positive shoelace) — Cyrus–Beck derives
+    outward normals from CCW order; ray-casting PIP never cared, so
+    POLY_REGIONS entries carry either orientation."""
+    area2 = sum(
+        lon[i] * lat[(i + 1) % len(lon)] - lon[(i + 1) % len(lon)] * lat[i]
+        for i in range(len(lon))
+    )
+    if area2 < 0:
+        return list(lon[::-1]), list(lat[::-1])
+    return list(lon), list(lat)
+
+
+def q_region_poly_clipped_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregateByGeometry over LINE features with CLIPPING against
+    arbitrary polygon sub-regions (GeometrySplitter.java:110-123 for
+    lines, beyond rectangles): every way segment is Cyrus-Beck-clipped
+    against each region polygon in ONE Arrow kernel (regions broadcast,
+    loop-per-region inside the batch), lengths summed per region.
+    Carries the additivity invariant to polygon regions: west + east
+    partition the diamond, so their clipped lengths sum to its
+    (asserted in tests/test_spatial.py). At scale a region-bbox
+    pre-prune bounds the fan-out; here all 4 regions ride one kernel."""
+    import numpy as np
+    import pandas as pd
+
+    from oshdb_spark.functions.geo import EARTH_RADIUS
+    from oshdb_spark.operators.spatial import np_clip_segments_convex
+
+    polys = []
+    for n in CLIP_REGIONS:
+        plon, plat = _ccw_poly(*POLY_REGIONS[n])
+        polys.append(
+            (np.asarray(plon, dtype=np.float64), np.asarray(plat, dtype=np.float64))
+        )
+    w = _ways_asof(spark, sf_dir)
+    segs = w.select(
+        "way_id",
+        F.explode(F.sequence(F.lit(0), F.size("lon_arr") - 2)).alias("j"),
+        "lon_arr",
+        "lat_arr",
+    ).select(
+        F.element_at("lon_arr", F.col("j") + 1).cast("double").alias("x1"),
+        F.element_at("lat_arr", F.col("j") + 1).cast("double").alias("y1"),
+        F.element_at("lon_arr", F.col("j") + 2).cast("double").alias("x2"),
+        F.element_at("lat_arr", F.col("j") + 2).cast("double").alias("y2"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(len(CLIP_REGIONS))])
+        ).alias("ridx"),
+    )
+
+    def _fn(x1, y1, x2, y2, ridx):
+        a1, a2 = x1.to_numpy(), y1.to_numpy()
+        b1, b2 = x2.to_numpy(), y2.to_numpy()
+        idx = ridx.to_numpy()
+        out = np.zeros(len(a1), dtype=np.float64)
+        for i, (px, py) in enumerate(polys):
+            m = idx == i
+            if not m.any():
+                continue
+            t0, t1, valid = np_clip_segments_convex(a1[m], a2[m], b1[m], b2[m], px, py)
+            dx, dy = b1[m] - a1[m], b2[m] - a2[m]
+            cx1, cy1 = a1[m] + t0 * dx, a2[m] + t0 * dy
+            cx2, cy2 = a1[m] + t1 * dx, a2[m] + t1 * dy
+            dlng = np.radians((cx2 - cx1) * 1e-7) * np.cos(
+                np.radians(((cy1 + cy2) * 1e-7) / 2.0)
+            )
+            dlat = np.radians((cy2 - cy1) * 1e-7)
+            out[m] = np.where(
+                valid, EARTH_RADIUS * np.sqrt(dlng * dlng + dlat * dlat), 0.0
+            )
+        return pd.Series(out)
+
+    cliplen = pandas_udf(_fn, "double")
+    name_arr = F.array(*[F.lit(n) for n in CLIP_REGIONS])
+    return (
+        segs.select(
+            F.element_at(name_arr, F.col("ridx") + 1).alias("region_key"),
+            cliplen("x1", "y1", "x2", "y2", "ridx").alias("len_m"),
+        )
+        .groupBy("region_key")
+        .agg(F.round(F.sum("len_m") / 1000.0, 4).alias("len_km"))
+    )
+
+
+def o_region_poly_clipped_length() -> str:
+    from oshdb_spark.sources.ways import lat_sql, lon_sql
+
+    def cb_piece(plon, plat):
+        n = len(plon)
+        t0_terms, t1_terms, rej_terms = [], [], []
+        for i in range(n):
+            ex, ey = plon[i], plat[i]
+            nx = plat[(i + 1) % n] - ey
+            ny = -(plon[(i + 1) % n] - ex)
+            num = f"({nx}.0 * (x1 - {ex}) + {ny}.0 * (y1 - {ey}))"
+            den = f"({nx}.0 * dx + {ny}.0 * dy)"
+            t0_terms.append(f"CASE WHEN {den} < 0 THEN -{num} / {den} ELSE 0 END")
+            t1_terms.append(f"CASE WHEN {den} > 0 THEN -{num} / {den} ELSE 1 END")
+            rej_terms.append(f"({den} = 0 AND {num} > 0)")
+        t0 = "greatest(0, " + ", ".join(t0_terms) + ")"
+        t1 = "least(1, " + ", ".join(t1_terms) + ")"
+        rej = " OR ".join(rej_terms)
+        return f"""CASE WHEN NOT ({rej}) AND {t0} <= {t1} THEN
+          6371000.0 * sqrt(
+            (radians(((x1 + {t1} * dx) - (x1 + {t0} * dx)) * 1e-7)
+             * cos(radians((((y1 + {t0} * dy) + (y1 + {t1} * dy)) * 1e-7) / 2.0)))
+          * (radians(((x1 + {t1} * dx) - (x1 + {t0} * dx)) * 1e-7)
+             * cos(radians((((y1 + {t0} * dy) + (y1 + {t1} * dy)) * 1e-7) / 2.0)))
+          + radians(((y1 + {t1} * dy) - (y1 + {t0} * dy)) * 1e-7)
+            * radians(((y1 + {t1} * dy) - (y1 + {t0} * dy)) * 1e-7)
+          )
+        ELSE 0.0 END"""
+
+    seg_union = " UNION ALL ".join(
+        f"SELECT way_id, CAST({lon_sql(j)} AS DOUBLE) AS x1, CAST({lat_sql(j)} AS DOUBLE) AS y1, "
+        f"CAST({lon_sql(j + 1)} AS DOUBLE) AS x2, CAST({lat_sql(j + 1)} AS DOUBLE) AS y2 FROM ao"
+        for j in range(4)
+    )
+    per_region = " UNION ALL ".join(
+        f"SELECT '{name}' AS region_key, "
+        f"round(coalesce(sum({cb_piece(*_ccw_poly(*POLY_REGIONS[name]))}), 0.0) / 1000.0, 4) AS len_km "
+        f"FROM segs"
+        for name in CLIP_REGIONS
+    )
+    return f"""{_ways_oracle_asof_cte()},
+    segs AS (SELECT *, x2 - x1 AS dx, y2 - y1 AS dy FROM ({seg_union}))
+    {per_region}
+    """
+
+
 def q_traj_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity modification-trajectory length (meters) with the
     reference's exact equirectangular formula (Geo.java:37-44), computed
@@ -2896,6 +3030,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_diamond_counts": q_pip_diamond_counts,
     "agg_by_region": q_agg_by_region,
     "agg_by_polygon_region": q_agg_by_polygon_region,
+    "region_poly_clipped_length": q_region_poly_clipped_length,
     "traj_length": q_traj_length,
     "token_stats_by_source": q_token_stats_by_source,
     "lang_pred_counts": q_lang_pred_counts,
@@ -2963,6 +3098,7 @@ ORACLES: dict[str, str] = {
     "pip_diamond_counts": o_pip_diamond_counts(),
     "agg_by_region": o_agg_by_region(),
     "agg_by_polygon_region": o_agg_by_polygon_region(),
+    "region_poly_clipped_length": o_region_poly_clipped_length(),
     "traj_length": o_traj_length(),
     "token_stats_by_source": o_token_stats_by_source(),
     "lang_pred_counts": o_lang_pred_counts(),

@@ -334,3 +334,18 @@ def test_concave_clip_matches_rect_decomposition():
     # catches any real clipping bug (wrong pieces diverge by integer
     # factors, not fractions of a percent)
     np.testing.assert_allclose(got, expected, rtol=1e-2, atol=1.0)
+
+
+def test_polygon_region_clipped_length_additivity(spark, sf_dir):
+    """Line-clipping overlay additivity generalized past rectangles:
+    west + east partition the diamond, so their clipped way lengths sum
+    to its (tiny equirect split slack tolerated)."""
+    from oshdb_spark.queries import q_region_poly_clipped_length
+
+    rows = {
+        r["region_key"]: r["len_km"]
+        for r in q_region_poly_clipped_length(spark, sf_dir).collect()
+    }
+    assert rows["diamond"] > 0
+    assert rows["west"] + rows["east"] == pytest.approx(rows["diamond"], abs=0.05)
+    assert rows["null_tri"] == 0.0
