@@ -573,42 +573,44 @@ def q_region_poly_clipped_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("lat_arr", F.col("j") + 1).cast("double").alias("y1"),
         F.element_at("lon_arr", F.col("j") + 2).cast("double").alias("x2"),
         F.element_at("lat_arr", F.col("j") + 2).cast("double").alias("y2"),
-        F.explode(
-            F.array(*[F.lit(i) for i in range(len(CLIP_REGIONS))])
-        ).alias("ridx"),
     )
 
-    def _fn(x1, y1, x2, y2, ridx):
+    def _fn(x1, y1, x2, y2):
+        # ONE Arrow pass: each segment crosses the Python boundary once
+        # and comes back with all region lengths (fan-out happens
+        # JVM-side via posexplode of the result array)
         a1, a2 = x1.to_numpy(), y1.to_numpy()
         b1, b2 = x2.to_numpy(), y2.to_numpy()
-        idx = ridx.to_numpy()
-        out = np.zeros(len(a1), dtype=np.float64)
-        for i, (px, py) in enumerate(polys):
-            m = idx == i
-            if not m.any():
-                continue
-            t0, t1, valid = np_clip_segments_convex(a1[m], a2[m], b1[m], b2[m], px, py)
-            dx, dy = b1[m] - a1[m], b2[m] - a2[m]
-            cx1, cy1 = a1[m] + t0 * dx, a2[m] + t0 * dy
-            cx2, cy2 = a1[m] + t1 * dx, a2[m] + t1 * dy
+        cols = []
+        for px, py in polys:
+            t0, t1, valid = np_clip_segments_convex(a1, a2, b1, b2, px, py)
+            dx, dy = b1 - a1, b2 - a2
+            cx1, cy1 = a1 + t0 * dx, a2 + t0 * dy
+            cx2, cy2 = a1 + t1 * dx, a2 + t1 * dy
             dlng = np.radians((cx2 - cx1) * 1e-7) * np.cos(
                 np.radians(((cy1 + cy2) * 1e-7) / 2.0)
             )
             dlat = np.radians((cy2 - cy1) * 1e-7)
-            out[m] = np.where(
-                valid, EARTH_RADIUS * np.sqrt(dlng * dlng + dlat * dlat), 0.0
+            cols.append(
+                np.where(valid, EARTH_RADIUS * np.sqrt(dlng * dlng + dlat * dlat), 0.0)
             )
-        return pd.Series(out)
+        return pd.Series(list(np.stack(cols, axis=1)))
 
-    cliplen = pandas_udf(_fn, "double")
+    cliplen = pandas_udf(_fn, "array<double>")
     name_arr = F.array(*[F.lit(n) for n in CLIP_REGIONS])
-    return (
+    grouped = (
         segs.select(
-            F.element_at(name_arr, F.col("ridx") + 1).alias("region_key"),
-            cliplen("x1", "y1", "x2", "y2", "ridx").alias("len_m"),
+            F.posexplode(cliplen("x1", "y1", "x2", "y2")).alias("ridx", "len_m")
         )
+        .select(F.element_at(name_arr, F.col("ridx") + 1).alias("region_key"), "len_m")
         .groupBy("region_key")
         .agg(F.round(F.sum("len_m") / 1000.0, 4).alias("len_km"))
+    )
+    # zerofill: an empty as-of way set must still emit every region row
+    # (the oracle always does), and regions no segment touches get 0.0
+    universe = lit_df(spark, "region_key", CLIP_REGIONS, "string")
+    return zerofill(grouped, [universe], {"len_km": 0.0}).select(
+        "region_key", F.col("len_km").cast("double").alias("len_km")
     )
 
 

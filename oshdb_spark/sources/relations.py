@@ -299,22 +299,37 @@ def docs_to_relation_members(docs: DataFrame) -> DataFrame:
             )
         ).alias("geoms"),
     )
-    exploded = per_version.select(
-        F.substring(F.col("doc_id"), 2, 100).cast("long").alias("rel_id"),
-        "version",
-        "ts",
-        "visible",
-        F.posexplode(F.col("geoms")).alias("arc_idx", "g"),
+    # validity is a VERSION-level interval: compute it before the arc
+    # fan-out (a per-(rel, arc_idx) lead would silently mis-window
+    # relations whose member count varies across versions — arcs of a
+    # sparse ordinal would skip over intervening versions)
+    per_version = per_version.withColumn(
+        "rel_id", F.substring(F.col("doc_id"), 2, 100).cast("long")
+    ).withColumn(
+        "valid_to",
+        F.lead(F.col("ts")).over(Window.partitionBy("rel_id").orderBy("version")),
     )
-    body = F.regexp_replace(F.col("g.text"), r"^ring:[a-z]+:", "")
-    coords = F.split(body, ";")
-    out = exploded.select(
+    exploded = per_version.select(
         "rel_id",
         "version",
         "ts",
+        "valid_to",
+        "visible",
+        F.posexplode(F.col("geoms")).alias("arc_idx", "g"),
+    )
+    # role is any ':'-free string ([^:]* — an empty role, common in real
+    # multipolygon relations, round-trips too; ':' inside a role is the
+    # one documented encode-side constraint)
+    body = F.regexp_replace(F.col("g.text"), r"^ring:[^:]*:", "")
+    coords = F.split(body, ";")
+    return exploded.select(
+        "rel_id",
+        "version",
+        "ts",
+        "valid_to",
         "visible",
         "arc_idx",
-        F.regexp_extract(F.col("g.text"), r"^ring:([a-z]+):", 1).alias("role"),
+        F.regexp_extract(F.col("g.text"), r"^ring:([^:]*):", 1).alias("role"),
         F.transform(coords, lambda p: F.split(p, ",").getItem(0).cast("long")).alias(
             "lon_arr"
         ),
@@ -322,12 +337,6 @@ def docs_to_relation_members(docs: DataFrame) -> DataFrame:
             "lat_arr"
         ),
     )
-    # every version carries every arc ordinal, so the per-(rel, arc)
-    # lead reproduces the version-level validity interval
-    valid_to = F.lead(F.col("ts")).over(
-        Window.partitionBy("rel_id", "arc_idx").orderBy("version")
-    )
-    return out.withColumn("valid_to", valid_to)
 
 
 def relations_sql(rel_mod: int = REL_MOD) -> str:
