@@ -94,9 +94,13 @@ def contributions(
         v = v.withColumn("prev_uid", F.lag("uid").over(w))
 
     def changed(cols) -> Column:
+        # null-safe: NULL-vs-value must count as a change (a plain `!=`
+        # yields NULL there, and False|NULL stays NULL, silently turning
+        # a real TAG/GEOMETRY_CHANGE into OTHER on schemas with nullable
+        # diff columns)
         out = F.lit(False)
         for c in cols:
-            out = out | (_canon(versions, c) != F.col(f"_prev_{c}"))
+            out = out | ~_canon(versions, c).eqNullSafe(F.col(f"_prev_{c}"))
         return out
 
     curr = F.col("_match")

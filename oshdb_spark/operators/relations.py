@@ -11,12 +11,31 @@ as one JVM aggregation + one Arrow-batched kernel:
    as-of state is already resolved per version (denormalized model,
    SURVEY §2.4); arcs gather into a single array column. Pure JVM.
 2. ``assemble_multipolygons`` — a pandas UDF over the arc array:
-   deterministic endpoint-chaining per relation (arcs sorted by
-   (arc_idx, first-vertex), each ring closed by matching/reversing
-   arcs), plus the hole-aware Chamberlain–Duquette area
+   deterministic endpoint-chaining per relation, then shell-vs-hole
+   classification and the hole-aware Chamberlain–Duquette area
    ``sum |outer ring| - sum |inner ring|`` accumulated in a fixed
    left-to-right order so the DuckDB oracle can mirror the exact
    float op sequence.
+
+Chaining is keyed by ENDPOINT only; the member ``role`` is a
+deterministic tie-break *hint* (same-role arcs are preferred at an
+ambiguous junction), never a hard key — real OSM relations carry
+wrong or empty roles, and an arc labelled ``inner`` must still be
+able to close an outer ring when the geometry says it does
+(``OSHDBGeometryBuilder.java:188-258`` also chains role-blind).
+Shells and holes are then classified GEOMETRICALLY: a closed ring
+whose representative vertex lies inside an odd number of the other
+closed rings is a hole, even (incl. zero) a shell — the even-odd
+reading of the reference's STRtree + prepared-contains nesting pass
+(``OSHDBGeometryBuilder.java:260-308``).
+
+Ring areas are batched ACROSS the Arrow batch: every closed ring's
+vertices concatenate into one flat array, the C–D terms evaluate in
+one vectorized pass, and ``np.add.reduceat`` (strictly sequential
+left-to-right within each segment — the documented op order the SQL
+oracles expand symbolically) reduces per-ring sums without per-ring
+numpy allocations. Only the inherently sequential endpoint chaining
+remains per-relation Python.
 
 Scale shape: one shuffle on (rel_id, version) for the arc gather; the
 kernel is per-relation but Arrow-batched (thousands of relations per
@@ -37,7 +56,7 @@ from pyspark.sql.functions import pandas_udf
 from oshdb_spark.functions.geo import EARTH_RADIUS
 
 ARC_SCHEMA = (
-    "array<struct<role:string,arc_idx:int,lon_arr:array<long>,lat_arr:array<long>>>"
+    "array<struct<role:string,arc_ord:int,lon_arr:array<long>,lat_arr:array<long>>>"
 )
 RINGS_SCHEMA = (
     "struct<rings:array<struct<role:string,lon:array<long>,lat:array<long>>>,"
@@ -48,9 +67,19 @@ RINGS_SCHEMA = (
 def collect_member_arcs(members: DataFrame) -> DataFrame:
     """One row per relation version with all member arcs gathered:
     (rel_id, version, ts, valid_to, visible, arcs). The single shuffle
-    of the assembly pipeline."""
+    of the assembly pipeline.
+
+    The per-arc ordering column is ``arc_ord`` (the decoded within-
+    version ordinal) when present, else the source ``arc_idx`` — the
+    two are distinct ids (see sources/relations.docs_to_relation_members)
+    and assembly only needs *a* deterministic rank, never their join.
+    """
+    ord_col = "arc_ord" if "arc_ord" in members.columns else "arc_idx"
     arc = F.struct(
-        F.col("role"), F.col("arc_idx"), F.col("lon_arr"), F.col("lat_arr")
+        F.col("role"),
+        F.col(ord_col).alias("arc_ord"),
+        F.col("lon_arr"),
+        F.col("lat_arr"),
     )
     return members.groupBy("rel_id", "version").agg(
         F.first("ts").alias("ts"),
@@ -63,8 +92,8 @@ def collect_member_arcs(members: DataFrame) -> DataFrame:
 def _ring_signed_area_m2(lon_e7: list[int], lat_e7: list[int]) -> float:
     """Chamberlain–Duquette signed area of one closed ring, accumulated
     strictly left-to-right over the rolled terms — the same op order the
-    SQL oracle's symbolic expansion uses (see functions/geo.rings_area
-    for the batched variant; this scalar form pins the sum order)."""
+    SQL oracle's symbolic expansion uses (and the same order the batched
+    ``_batch_ring_areas`` reproduces via ``np.add.reduceat``)."""
     x = np.radians(np.asarray(lon_e7, dtype=np.float64) * 1e-7)
     y = np.radians(np.asarray(lat_e7, dtype=np.float64) * 1e-7)
     terms = (np.roll(x, -2) - x) * np.sin(np.roll(y, -1))
@@ -74,16 +103,71 @@ def _ring_signed_area_m2(lon_e7: list[int], lat_e7: list[int]) -> float:
     return acc * EARTH_RADIUS * EARTH_RADIUS / 2.0
 
 
-def _assemble(arcs: list[dict]) -> dict:
-    """Chain arcs into closed rings (the OSHDBGeometryBuilder.java
-    endpoint-matching loop, re-derived): pick the first unused arc in
-    deterministic order, extend the open end by the arc sharing its
-    endpoint (reversed if stored backwards), close, repeat.
+def _batch_ring_areas(
+    flat_lon: np.ndarray, flat_lat: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """|C–D area| of many variable-length closed rings in ONE numpy
+    pass: rings are concatenated into flat e7 coordinate arrays with
+    per-ring (start, len) segments. The per-segment rolled indices are
+    computed vectorized, and ``np.add.reduceat`` accumulates each
+    ring's terms strictly left-to-right — bit-identical to the scalar
+    ``_ring_signed_area_m2`` loop (reduceat applies the ufunc
+    sequentially within each slice, and ``0.0 + t0 == t0`` exactly)."""
+    if len(starts) == 0:
+        return np.empty(0, dtype=np.float64)
+    x = np.radians(flat_lon.astype(np.float64) * 1e-7)
+    y = np.radians(flat_lat.astype(np.float64) * 1e-7)
+    starts_rep = np.repeat(starts, lens)
+    lens_rep = np.repeat(lens, lens)
+    p = np.arange(len(x), dtype=np.int64) - starts_rep
+    i2 = starts_rep + (p + 2) % lens_rep
+    i1 = starts_rep + (p + 1) % lens_rep
+    terms = (x[i2] - x) * np.sin(y[i1])
+    sums = np.add.reduceat(terms, starts)
+    return np.abs(sums * (EARTH_RADIUS * EARTH_RADIUS / 2.0))
 
-    O(total arcs) via an endpoint index: (role, point) -> candidate arc
-    ranks, so coastline-style relations with thousands of members cost
-    one dict probe per extension, not a linear scan. Rank order (by
-    arc_idx then first vertex) breaks every tie deterministically."""
+
+def _point_in_ring(lon: list[int], lat: list[int], px: int, py: int) -> bool:
+    """Even-odd ray cast of one point against one closed ring. Plain
+    Python below 64 edges (no numpy alloc for the common tiny ring),
+    vectorized above (coastline-scale rings)."""
+    n = len(lon) - 1
+    if n < 3:
+        return False
+    if n >= 64:
+        x = np.asarray(lon, dtype=np.float64)
+        y = np.asarray(lat, dtype=np.float64)
+        x1, x2, y1, y2 = x[:-1], x[1:], y[:-1], y[1:]
+        straddles = (y1 > py) != (y2 > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xi = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+        return int(np.count_nonzero(straddles & (px < xi))) % 2 == 1
+    crossings = 0
+    for i in range(n):
+        y1, y2 = lat[i], lat[i + 1]
+        if (y1 > py) != (y2 > py):
+            xi = lon[i] + (py - y1) * (lon[i + 1] - lon[i]) / (y2 - y1)
+            if px < xi:
+                crossings += 1
+    return crossings % 2 == 1
+
+
+def _chain_rings(arcs: list[dict]) -> tuple[list[dict], bool]:
+    """Chain arcs into rings by ENDPOINT matching (the
+    OSHDBGeometryBuilder.java endpoint loop, re-derived): pick the
+    first unused arc in deterministic order, extend the open end by an
+    arc sharing its endpoint (reversed if stored backwards), close,
+    repeat. Role is only a tie-break preference at junctions touched
+    by arcs of several roles — wrong or empty roles still assemble.
+
+    O(total arcs) via an endpoint index: point -> candidate arc ranks,
+    so coastline-style relations with thousands of members cost one
+    dict probe per extension, not a linear scan. Rank order (by
+    arc_ord then first vertex) breaks every tie deterministically.
+
+    Returns (rings, closed_all); each ring carries ``hint`` = the seed
+    arc's role (used only as the fallback label for unclosed rings —
+    closed rings are classified geometrically afterwards)."""
     parsed = []
     for a in arcs:
         lon = [int(v) for v in a["lon_arr"]]
@@ -91,14 +175,14 @@ def _assemble(arcs: list[dict]) -> dict:
         parsed.append((a["role"], lon, lat))
     order = sorted(
         range(len(parsed)),
-        key=lambda i: (int(arcs[i]["arc_idx"]), parsed[i][1][0], parsed[i][2][0]),
+        key=lambda i: (int(arcs[i]["arc_ord"]), parsed[i][1][0], parsed[i][2][0]),
     )
     rank_of = {i: r for r, i in enumerate(order)}
-    # endpoint index: (role, point) -> sorted list of arc ids touching it
+    # endpoint index: point -> arc ids touching it (role-blind)
     by_end: dict[tuple, list[int]] = {}
-    for i, (role, lon, lat) in enumerate(parsed):
+    for i, (_role, lon, lat) in enumerate(parsed):
         for pt in {(lon[0], lat[0]), (lon[-1], lat[-1])}:
-            by_end.setdefault((role, pt), []).append(i)
+            by_end.setdefault(pt, []).append(i)
     for lst in by_end.values():
         lst.sort(key=rank_of.__getitem__)
     used = [False] * len(parsed)
@@ -112,10 +196,17 @@ def _assemble(arcs: list[dict]) -> dict:
         while (lon[0], lat[0]) != (lon[-1], lat[-1]):
             end = (lon[-1], lat[-1])
             nxt = None
-            for j in by_end.get((role, end), ()):
-                if not used[j]:
-                    nxt = j
+            fallback = None
+            for j in by_end.get(end, ()):
+                if used[j]:
+                    continue
+                if parsed[j][0] == role:
+                    nxt = j  # same-role hint wins at a mixed junction
                     break
+                if fallback is None:
+                    fallback = j
+            if nxt is None:
+                nxt = fallback
             if nxt is None:
                 closed_all = False  # dangling member: emit unclosed ring
                 break
@@ -127,8 +218,45 @@ def _assemble(arcs: list[dict]) -> dict:
             else:
                 lon += bl[-2::-1]
                 lat += bt[-2::-1]
-        rings.append({"role": role, "lon": lon, "lat": lat})
-    # hole-aware area in ring order: sum of |outer| first, then - |inner|
+        rings.append({"hint": role, "lon": lon, "lat": lat})
+    return rings, closed_all
+
+
+def _classify_rings(rings: list[dict]) -> None:
+    """Shell-vs-hole by geometry: a closed ring nested inside an odd
+    number of the OTHER closed rings is ``inner``, else ``outer``
+    (matching the containment pass of
+    ``OSHDBGeometryBuilder.java:260-308``; even-odd nesting depth makes
+    islands-in-lakes outers again). The representative point is the
+    ring's first vertex — exact for rings that don't touch (the
+    reference repairs touching rings with buffer(0); a touching-ring
+    vertex ON another ring's edge is the documented approximation).
+    Unclosed rings keep their seed arc's role hint. Mutates ``rings``
+    in place, adding ``role``."""
+    closed = [
+        r for r in rings if (r["lon"][0], r["lat"][0]) == (r["lon"][-1], r["lat"][-1])
+    ]
+    for r in rings:
+        if (r["lon"][0], r["lat"][0]) != (r["lon"][-1], r["lat"][-1]):
+            r["role"] = r["hint"]
+            continue
+        px, py = r["lon"][0], r["lat"][0]
+        depth = 0
+        for other in closed:
+            if other is r:
+                continue
+            if _point_in_ring(other["lon"], other["lat"], px, py):
+                depth += 1
+        r["role"] = "inner" if depth % 2 == 1 else "outer"
+
+
+def _assemble(arcs: list[dict]) -> dict:
+    """Single-relation assembly (kept for the pytest ports; the Spark
+    kernel uses ``_chain_rings`` + batched areas). Chains, classifies,
+    and computes the hole-aware area with the scalar left-to-right
+    sum."""
+    rings, closed_all = _chain_rings(arcs)
+    _classify_rings(rings)
     outer_acc = 0.0
     inner_acc = 0.0
     for r in rings:
@@ -141,7 +269,7 @@ def _assemble(arcs: list[dict]) -> dict:
             inner_acc += area
     n_outer = sum(1 for r in rings if r["role"] == "outer")
     return {
-        "rings": rings,
+        "rings": [{"role": r["role"], "lon": r["lon"], "lat": r["lat"]} for r in rings],
         "area_m2": outer_acc - inner_acc,
         "n_outer": n_outer,
         "n_inner": len(rings) - n_outer,
@@ -151,11 +279,64 @@ def _assemble(arcs: list[dict]) -> dict:
 
 def assemble_multipolygons(gathered: DataFrame, arcs_col: str = "arcs") -> DataFrame:
     """Adds ``mp`` (rings/area_m2/n_outer/n_inner/closed) per relation
-    version via one Arrow-batched kernel."""
+    version via one Arrow-batched kernel. Chaining + classification run
+    per relation (inherently sequential); ring AREAS batch across the
+    whole Arrow batch through ``_batch_ring_areas`` (one flat numpy
+    pass + ``reduceat``), eliminating the per-ring 5-element numpy
+    allocations that dominated the round-2 profile."""
 
     @pandas_udf(RINGS_SCHEMA)
     def kernel(arc_series: pd.Series) -> pd.DataFrame:
-        out = [_assemble(list(arcs)) for arcs in arc_series]
+        per_row: list[tuple[list[dict], bool]] = []
+        flat_lon: list[list[int]] = []
+        flat_lat: list[list[int]] = []
+        ring_rows: list[int] = []  # batch-flat ring -> row index
+        ring_refs: list[dict] = []
+        for rowno, arcs in enumerate(arc_series):
+            rings, closed_all = _chain_rings(list(arcs))
+            _classify_rings(rings)
+            per_row.append((rings, closed_all))
+            for r in rings:
+                if (r["lon"][0], r["lat"][0]) == (r["lon"][-1], r["lat"][-1]):
+                    flat_lon.append(r["lon"])
+                    flat_lat.append(r["lat"])
+                    ring_rows.append(rowno)
+                    ring_refs.append(r)
+        if flat_lon:
+            lens = np.array([len(v) for v in flat_lon], dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            areas = _batch_ring_areas(
+                np.concatenate([np.asarray(v, dtype=np.int64) for v in flat_lon]),
+                np.concatenate([np.asarray(v, dtype=np.int64) for v in flat_lat]),
+                starts,
+                lens,
+            )
+        else:
+            areas = np.empty(0, dtype=np.float64)
+        # per-row hole-aware sum in ring order (outer_acc - inner_acc,
+        # scalar adds only — mirrors _assemble / the SQL expansion)
+        outer_acc = [0.0] * len(per_row)
+        inner_acc = [0.0] * len(per_row)
+        for k, (rowno, r) in enumerate(zip(ring_rows, ring_refs)):
+            if r["role"] == "outer":
+                outer_acc[rowno] += float(areas[k])
+            else:
+                inner_acc[rowno] += float(areas[k])
+        out = []
+        for rowno, (rings, closed_all) in enumerate(per_row):
+            n_outer = sum(1 for r in rings if r["role"] == "outer")
+            out.append(
+                {
+                    "rings": [
+                        {"role": r["role"], "lon": r["lon"], "lat": r["lat"]}
+                        for r in rings
+                    ],
+                    "area_m2": outer_acc[rowno] - inner_acc[rowno],
+                    "n_outer": n_outer,
+                    "n_inner": len(rings) - n_outer,
+                    "closed": closed_all,
+                }
+            )
         return pd.DataFrame(out)
 
     return gathered.withColumn("mp", kernel(F.col(arcs_col)))

@@ -297,9 +297,24 @@ def ear_clip_triangles(
             del idx[k]
             break
         else:
-            break  # degenerate input; emit what we have
+            # No ear found: the polygon is degenerate (self-intersecting,
+            # collinear run, or duplicate vertices). A partial fan would
+            # under-cover the AOI — and because the SQL oracle re-derives
+            # the SAME triangles, engine and oracle would agree on a
+            # wrong clipped length. Fail loudly instead.
+            raise ValueError(
+                f"ear_clip_triangles: no ear found with {len(idx)} of {n} "
+                "vertices left — degenerate polygon (self-intersection, "
+                "collinear run, or duplicate vertices?)"
+            )
     if len(idx) == 3:
         tris.append((idx[0], idx[1], idx[2]))
+    if len(tris) != n - 2:
+        raise ValueError(
+            f"ear_clip_triangles: produced {len(tris)} triangles for an "
+            f"{n}-gon (expected {n - 2}) — partial triangulation would "
+            "silently under-cover the AOI"
+        )
     return [
         (np.array([px[a], px[b], px[c]]), np.array([py[a], py[b], py[c]]))
         for a, b, c in tris
@@ -558,17 +573,30 @@ def aggregate_by_polygon_regions(
         return pd.Series(out)
 
     spark = df.sparkSession
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("_cell"),
-                F.lit(i).alias("_ridx"),
-                F.lit(b).alias("_bnd"),
+    # The candidates relation is shipped as ONE packed array<long>
+    # literal — a single Catalyst node whose size is data, not
+    # expression-tree depth. The earlier per-row F.struct-literal array
+    # grew the analysis tree ~4x per zoom level (slow analysis, 64KB
+    # codegen risk on large AOIs / high zooms — round-2 ADVICE.md).
+    k = len(names)
+    assert (1 << (2 * zoom)) * k * 2 < (1 << 62), "packed cell id overflow"
+    packed = [int((c * k + i) * 2 + int(b)) for c, i, b in cand_rows]
+    if packed:
+        cand = (
+            spark.range(1)
+            .select(F.explode(F.lit(packed)).alias("_p"))
+            .select(
+                F.expr(f"(_p div 2) div {k}").alias("_cell"),
+                F.expr(f"pmod(_p div 2, {k})").cast("int").alias("_ridx"),
+                (F.col("_p") % 2 == 1).alias("_bnd"),
             )
-            for c, i, b in cand_rows
-        ]
-    )
-    cand = spark.range(1).select(F.explode(entries).alias("e")).select("e.*")
+        )
+    else:  # no region covers any cell: empty candidates, empty result
+        cand = spark.range(0).select(
+            F.col("id").alias("_cell"),
+            F.lit(0).alias("_ridx"),
+            F.lit(False).alias("_bnd"),
+        )
     base = df.withColumn("_cell", cell_id_col(zoom, F.col(lon), F.col(lat)))
     joined = base.join(F.broadcast(cand), "_cell")
     inside_part = joined.filter(~F.col("_bnd"))

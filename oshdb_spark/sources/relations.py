@@ -256,11 +256,17 @@ def relations_to_docs(members: DataFrame) -> DataFrame:
 
 def docs_to_relation_members(docs: DataFrame) -> DataFrame:
     """Decode ``ring:`` docs back to member-arc rows (rel_id, version,
-    ts, valid_to, visible, role, arc_idx, lon_arr, lat_arr) — explode +
+    ts, valid_to, visible, role, arc_ord, lon_arr, lat_arr) — explode +
     window + conditional aggregation + re-explode, zero Python. The
-    decoded ``arc_idx`` is the within-version arc ordinal (the encode's
-    arc-sorted position — a deterministic id; the original ring_hint
-    label is fixture metadata assembly never needs)."""
+    decoded ordinal is deliberately named ``arc_ord`` (the encode's
+    arc-sorted position within the version), NOT ``arc_idx``: the
+    source ``arc_idx`` is 0/1 per rect ring, so the codec round trip is
+    not an identity on it, and a consumer joining decoded arcs back to
+    ``derive_relation_members`` on a shared name would silently mispair
+    arcs (round-2 ADVICE.md). Assembly only needs a deterministic rank
+    and accepts either column (operators/relations.collect_member_arcs);
+    the original ring_hint label is fixture metadata assembly never
+    needs."""
     s = docs.select("doc_id", F.explode("spans").alias("s")).select(
         "doc_id",
         F.col("s.kind").alias("kind"),
@@ -315,7 +321,7 @@ def docs_to_relation_members(docs: DataFrame) -> DataFrame:
         "ts",
         "valid_to",
         "visible",
-        F.posexplode(F.col("geoms")).alias("arc_idx", "g"),
+        F.posexplode(F.col("geoms")).alias("arc_ord", "g"),
     )
     # role is any ':'-free string ([^:]* — an empty role, common in real
     # multipolygon relations, round-trips too; ':' inside a role is the
@@ -328,7 +334,7 @@ def docs_to_relation_members(docs: DataFrame) -> DataFrame:
         "ts",
         "valid_to",
         "visible",
-        "arc_idx",
+        "arc_ord",
         F.regexp_extract(F.col("g.text"), r"^ring:([^:]*):", 1).alias("role"),
         F.transform(coords, lambda p: F.split(p, ",").getItem(0).cast("long")).alias(
             "lon_arr"

@@ -14,7 +14,7 @@ from oshdb_spark.operators.relations import _assemble, _ring_signed_area_m2
 def _arc(role, idx, pts):
     return {
         "role": role,
-        "arc_idx": idx,
+        "arc_ord": idx,
         "lon_arr": [p[0] for p in pts],
         "lat_arr": [p[1] for p in pts],
     }
@@ -174,7 +174,7 @@ def test_assembly_recovers_random_polygons_from_shuffled_reversed_arcs():
             arcs.append(
                 {
                     "role": "outer",
-                    "arc_idx": int(rng.integers(0, 100)),
+                    "arc_ord": int(rng.integers(0, 100)),
                     "lon_arr": [p[0] for p in pts],
                     "lat_arr": [p[1] for p in pts],
                 }
@@ -259,3 +259,127 @@ def test_relation_docs_roundtrip_preserves_assembly(spark, sf_dir):
         .collect()
     }
     assert want == got
+
+
+# ---------------------------------------------------------------------------
+# geometric shell/hole classification (role-blind assembly)
+# ---------------------------------------------------------------------------
+# Real OSM relations carry wrong or empty roles; the reference chains
+# members role-blind and classifies rings geometrically
+# (OSHDBGeometryBuilder.java:260-308). These cases pin that behavior.
+
+INNER = [(1_000_000, 750_000), (3_000_000, 750_000),
+         (3_000_000, 2_250_000), (1_000_000, 2_250_000)]
+
+
+def test_scrambled_roles_still_classify_geometrically():
+    """Shell labelled 'inner', hole labelled 'outer': classification
+    must come from containment, not the role attribute."""
+    arcs = [
+        _arc("inner", 0, [SW, SE, NE]),          # actually the shell
+        _arc("inner", 1, [SW, NW, NE]),
+        _arc("outer", 0, [INNER[0], INNER[1], INNER[2]]),  # actually the hole
+        _arc("outer", 1, [INNER[0], INNER[3], INNER[2]]),
+    ]
+    out = _assemble(arcs)
+    assert out["closed"]
+    assert out["n_outer"] == 1 and out["n_inner"] == 1
+    shell_only = _assemble(arcs[:2])["area_m2"]
+    assert 0 < out["area_m2"] < abs(shell_only) or out["area_m2"] > 0
+    # the ring covering the larger extent is the classified outer
+    roles = {
+        (min(r["lon"]), max(r["lon"])): r["role"] for r in out["rings"]
+    }
+    assert roles[(0, 4_000_000)] == "outer"
+    assert roles[(1_000_000, 3_000_000)] == "inner"
+
+
+def test_empty_roles_assemble_and_classify():
+    arcs = [
+        _arc("", 0, [SW, SE, NE]),
+        _arc("", 1, [SW, NW, NE]),
+        _arc("", 0, [INNER[0], INNER[1], INNER[2]]),
+        _arc("", 1, [INNER[0], INNER[3], INNER[2]]),
+    ]
+    out = _assemble(arcs)
+    assert out["closed"] and out["n_outer"] == 1 and out["n_inner"] == 1
+    correct = _assemble([
+        _arc("outer", 0, [SW, SE, NE]),
+        _arc("outer", 1, [SW, NW, NE]),
+        _arc("inner", 0, [INNER[0], INNER[1], INNER[2]]),
+        _arc("inner", 1, [INNER[0], INNER[3], INNER[2]]),
+    ])
+    assert out["area_m2"] == correct["area_m2"]
+
+
+def test_mixed_role_ring_closes_via_fallback():
+    """One ring whose two arcs carry DIFFERENT roles: a role-keyed
+    chain could never close it; endpoint chaining with the role as a
+    mere tie-break hint must."""
+    arcs = [
+        _arc("outer", 0, [SW, SE, NE]),
+        _arc("inner", 1, [SW, NW, NE]),
+    ]
+    out = _assemble(arcs)
+    assert out["closed"] and len(out["rings"]) == 1
+    assert out["rings"][0]["role"] == "outer"
+    assert out["area_m2"] > 0
+
+
+def test_island_in_lake_is_outer_again():
+    """Nesting depth 2 (shell > hole > island): even-odd classification
+    makes the innermost ring an outer shell again, and its area ADDS
+    (the reference's nested-multipolygon semantics)."""
+    island = [(1_500_000, 1_000_000), (2_500_000, 1_000_000),
+              (2_500_000, 2_000_000), (1_500_000, 2_000_000)]
+    arcs = [
+        _arc("outer", 0, [SW, SE, NE]),
+        _arc("outer", 1, [SW, NW, NE]),
+        _arc("inner", 0, [INNER[0], INNER[1], INNER[2]]),
+        _arc("inner", 1, [INNER[0], INNER[3], INNER[2]]),
+        # island carries a WRONG role on purpose — depth decides
+        _arc("inner", 0, [island[0], island[1], island[2]]),
+        _arc("inner", 1, [island[0], island[3], island[2]]),
+    ]
+    out = _assemble(arcs)
+    assert out["closed"]
+    assert out["n_outer"] == 2 and out["n_inner"] == 1
+
+    def ring_area(pts):
+        closed = pts + [pts[0]]
+        return abs(_ring_signed_area_m2(
+            [p[0] for p in closed], [p[1] for p in closed]))
+
+    expect = ring_area(RECT) - ring_area(INNER) + ring_area(island)
+    assert out["area_m2"] == pytest.approx(expect, rel=1e-12)
+
+
+def test_fixture_assembly_identical_under_role_scramble(spark, sf_dir):
+    """End-to-end: scrambling every member role in the derived fixture
+    changes NOTHING about the assembled output (rings are discovered by
+    endpoint, shells/holes by geometry)."""
+    from oshdb_spark.operators.relations import (
+        assemble_multipolygons,
+        collect_member_arcs,
+    )
+    from oshdb_spark.sources.relations import derive_relation_members
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = derive_relation_members(ev).filter(F.col("version") <= 3)
+    scrambled = m.withColumn(
+        "role",
+        F.when(F.col("role") == "outer", F.lit("inner")).otherwise(F.lit("")),
+    )
+
+    def result(members):
+        mp = assemble_multipolygons(collect_member_arcs(members))
+        return {
+            (r["rel_id"], r["version"]): (
+                r["mp"]["n_outer"], r["mp"]["n_inner"],
+                r["mp"]["closed"], r["mp"]["area_m2"],
+            )
+            for r in mp.select("rel_id", "version", "mp").collect()
+        }
+
+    a, b = result(m), result(scrambled)
+    assert a == b and len(a) > 0
