@@ -42,7 +42,10 @@ kernel is per-relation but Arrow-batched (thousands of relations per
 batch), and ring assembly is O(arcs) per relation with a dict —
 exactly the reference's per-entity work distributed by relation id.
 Skewed giant relations (coastline-style, thousands of members) are the
-known hot keys; they ride the same salting machinery as hot cells.
+known hot keys; ``collect_member_arcs(salt=S)`` spreads the gather of a
+hot key over S partial reducers before one flatten (the groupBy analog
+of hot-cell salting — see tests/test_relations.py's giant-relation
+probe).
 """
 
 from __future__ import annotations
@@ -64,7 +67,7 @@ RINGS_SCHEMA = (
 )
 
 
-def collect_member_arcs(members: DataFrame) -> DataFrame:
+def collect_member_arcs(members: DataFrame, salt: int | None = None) -> DataFrame:
     """One row per relation version with all member arcs gathered:
     (rel_id, version, ts, valid_to, visible, arcs). The single shuffle
     of the assembly pipeline.
@@ -73,7 +76,16 @@ def collect_member_arcs(members: DataFrame) -> DataFrame:
     version ordinal) when present, else the source ``arc_idx`` — the
     two are distinct ids (see sources/relations.docs_to_relation_members)
     and assembly only needs *a* deterministic rank, never their join.
-    """
+
+    ``salt`` enables the hot-key path for skewed giant relations
+    (coastline-style, thousands of members): arcs first gather into
+    ``salt`` partial arrays per (rel_id, version) — spreading the wide
+    key over ``salt`` reducers — then a second aggregation flattens the
+    partials. The hot key's final row is built from ``salt``
+    pre-combined arrays instead of thousands of shuffle records, so the
+    sort/merge pressure of the skewed reducer drops by ~|arcs|/salt.
+    Assembly is arc-order-invariant (tested), so the two-stage gather is
+    result-identical to the direct one."""
     ord_col = "arc_ord" if "arc_ord" in members.columns else "arc_idx"
     arc = F.struct(
         F.col("role"),
@@ -81,11 +93,34 @@ def collect_member_arcs(members: DataFrame) -> DataFrame:
         F.col("lon_arr"),
         F.col("lat_arr"),
     )
-    return members.groupBy("rel_id", "version").agg(
+    if salt is None:
+        return members.groupBy("rel_id", "version").agg(
+            F.first("ts").alias("ts"),
+            F.first("valid_to").alias("valid_to"),
+            F.first("visible").alias("visible"),
+            F.collect_list(arc).alias("arcs"),
+        )
+    partial = (
+        members.withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64(F.col(ord_col), F.element_at(F.col("lon_arr"), 1)),
+                F.lit(salt),
+            ),
+        )
+        .groupBy("rel_id", "version", "_salt")
+        .agg(
+            F.first("ts").alias("ts"),
+            F.first("valid_to").alias("valid_to"),
+            F.first("visible").alias("visible"),
+            F.collect_list(arc).alias("part"),
+        )
+    )
+    return partial.groupBy("rel_id", "version").agg(
         F.first("ts").alias("ts"),
         F.first("valid_to").alias("valid_to"),
         F.first("visible").alias("visible"),
-        F.collect_list(arc).alias("arcs"),
+        F.flatten(F.collect_list("part")).alias("arcs"),
     )
 
 
@@ -236,14 +271,23 @@ def _classify_rings(rings: list[dict]) -> None:
     closed = [
         r for r in rings if (r["lon"][0], r["lat"][0]) == (r["lon"][-1], r["lat"][-1])
     ]
+    # bbox fast-reject (the STRtree-lite of OSHDBGeometryBuilder's
+    # prepared-contains pass): a point outside the other ring's bbox can
+    # never be inside it — giant relations with many disjoint shells
+    # would otherwise pay O(R^2) full ray casts
+    boxes = [
+        (min(r["lon"]), max(r["lon"]), min(r["lat"]), max(r["lat"])) for r in closed
+    ]
     for r in rings:
         if (r["lon"][0], r["lat"][0]) != (r["lon"][-1], r["lat"][-1]):
             r["role"] = r["hint"]
             continue
         px, py = r["lon"][0], r["lat"][0]
         depth = 0
-        for other in closed:
+        for other, bb in zip(closed, boxes):
             if other is r:
+                continue
+            if px < bb[0] or px > bb[1] or py < bb[2] or py > bb[3]:
                 continue
             if _point_in_ring(other["lon"], other["lat"], px, py):
                 depth += 1

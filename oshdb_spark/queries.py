@@ -1925,8 +1925,11 @@ def q_way_kind_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     OSHDBGeometryBuilder.java:66-139): the polygon-vs-line decision is
     made by RULES over the tags map and the actual ring closure — area=no
     forces line even on closed building rings, area=yes forces polygon,
-    otherwise the area-tag dictionary (building) decides; open ways are
-    always lines. The measure follows the kind: geodesic ring area for
+    otherwise the multi-key polygon-features table decides (building:
+    mode "all" minus building=no; landuse: whitelist with residential as
+    the value exception; barrier: blacklist where only city_wall is
+    area-ish — DefaultTagInterpreter.java:31-81); open ways are always
+    lines. The measure follows the kind: geodesic ring area for
     polygons, equirectangular length for lines — all pure Column
     expressions (transform + aggregate folds), zero Python."""
     from oshdb_spark.functions.taginterpreter import way_geom_kind_col
@@ -1984,16 +1987,29 @@ def o_way_kind_measures() -> str:
     from oshdb_spark.sources.ways import (
         WAY_AREA_MOD,
         WAY_AREA_YES_MOD,
+        WAY_BARRIER_MOD,
         WAY_BUILDING_MOD,
+        WAY_BUILDING_NO_MOD,
         WAY_CLOSED_MOD,
+        WAY_LANDUSE_MOD,
         lat_sql,
         lon_sql,
     )
 
+    # the polygon-features rule table expanded over the fixture
+    # arithmetic (mirrors functions/taginterpreter.POLYGON_FEATURES):
+    # building mode "all" (any value but no), landuse whitelist (forest,
+    # grass — residential is the exception), barrier blacklist (only
+    # city_wall matches)
+    polyish = (
+        f"((way_id % {WAY_BUILDING_MOD} = 0 AND way_id % {WAY_BUILDING_NO_MOD} <> 0)"
+        f" OR (way_id % {WAY_LANDUSE_MOD} = 0 AND (way_id % 3 + 1) IN (1, 3))"
+        f" OR (way_id % {WAY_BARRIER_MOD} = 0 AND (way_id % 3 + 1) NOT IN (1, 2)))"
+    )
     kind = (
         f"CASE WHEN way_id % {WAY_CLOSED_MOD} = 0 AND "
         f"(CASE WHEN way_id % {WAY_AREA_MOD} = 0 THEN way_id % {WAY_AREA_YES_MOD} = 0 "
-        f"ELSE way_id % {WAY_BUILDING_MOD} = 0 END) THEN 'polygon' ELSE 'line' END"
+        f"ELSE {polyish} END) THEN 'polygon' ELSE 'line' END"
     )
 
     def seg(a, b):
@@ -2310,6 +2326,117 @@ def o_relation_contrib_counts() -> str:
       SELECT 'MEMBER_GEOMETRY_CHANGE' AS contrib_type FROM minst
     )
     SELECT contrib_type, count(*) AS cnt FROM u GROUP BY 1
+    """
+
+
+def q_relation_geom_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation geometry DISPATCH + old-style multipolygons
+    (OSHDBGeometryBuilder.java:121-139 + BaseTagInterpreter.java:106-135):
+    a relation as-of TILE_TS dispatches on its ``type`` tag —
+    multipolygon/boundary assemble as areas, everything else (route,
+    unknown, missing type) degrades to a documented GeometryCollection
+    row instead of silently assembling. A relation whose tags are all
+    either the area tag or uninteresting keys AND that has exactly ONE
+    outer way member is an old-style multipolygon: its real tags live on
+    the outer way, so the effective tag map resolves through the member
+    (broadcast join against the way keytable; surfaced as the member
+    way's tag COUNT — data-dependent across the fixture, so the gate
+    checks the join really fetched that way's map). Outer-member counts
+    come from the actual member table (one aggregation), not
+    arithmetic."""
+    from oshdb_spark.functions.taginterpreter import (
+        old_style_multipolygon_col,
+        relation_geom_kind_col,
+    )
+    from oshdb_spark.sources.relations import (
+        derive_relation_members,
+        derive_relations,
+        member_way_ids_col,
+        with_relation_tags,
+    )
+    from oshdb_spark.sources.ways import WAY_MOD, derive_ways, with_way_tags
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = derive_relation_members(ev).transform(_asof_visible)
+    counts = m.groupBy("rel_id").agg(
+        F.sum((F.col("role") == "outer").cast("int")).alias("n_outer_members"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    r = with_relation_tags(derive_relations(ev).transform(_asof_visible))
+    j = r.join(counts, "rel_id")
+    j = j.withColumn("kind", relation_geom_kind_col(F.col("tags"))).withColumn(
+        "old_style",
+        old_style_multipolygon_col(F.col("tags"), F.col("n_outer_members")),
+    )
+    # old-style tag resolution: the member way's building value via a
+    # broadcast equi-join on the way keytable (tags are way_id-static in
+    # the fixture, so distinct yields one row per way)
+    wtags = (
+        with_way_tags(derive_ways(ev))
+        .select("way_id", F.size("tags").alias("way_ntags"))
+        .distinct()
+    )
+    j = j.withColumn("member0", member_way_ids_col(WAY_MOD).getItem(0)).join(
+        F.broadcast(wtags), F.col("member0") == wtags["way_id"], "left"
+    )
+    return j.select(
+        "rel_id",
+        "kind",
+        "old_style",
+        F.col("n_members").cast("int").alias("n_members"),
+        F.when(F.col("old_style"), F.col("way_ntags"))
+        .cast("int")
+        .alias("eff_way_tags"),
+    )
+
+
+def o_relation_geom_kinds() -> str:
+    from oshdb_spark.sources.relations import (
+        REL_NAME_MOD,
+        REL_TYPE_MOD,
+        SECOND_SHELL_MOD,
+        SINGLE_OUTER_MOD,
+        relations_sql,
+    )
+    from oshdb_spark.sources.ways import (
+        WAY_AREA_MOD,
+        WAY_BARRIER_MOD,
+        WAY_BUILDING_MOD,
+        WAY_HIGHWAY_MOD,
+        WAY_LANDUSE_MOD,
+        WAY_MOD,
+    )
+
+    is_area = f"rel_id % {REL_TYPE_MOD} IN (0, 1, 3)"
+    n_outer = (
+        f"(CASE WHEN rel_id % {SINGLE_OUTER_MOD} = 1 THEN 1 ELSE 2 END"
+        f" + CASE WHEN rel_id % {SECOND_SHELL_MOD} = 0 THEN 2 ELSE 0 END)"
+    )
+    old_style = (
+        f"(({is_area}) AND {n_outer} = 1 AND rel_id % {REL_NAME_MOD} = 1)"
+    )
+    member0 = f"(rel_id % {WAY_MOD})"
+    # the member way's tag COUNT: one presence term per key of the way
+    # tag model (sources/ways.with_way_tags)
+    way_ntags = (
+        f"(CASE WHEN {member0} % {WAY_BUILDING_MOD} = 0 THEN 1 ELSE 0 END"
+        f" + CASE WHEN {member0} % {WAY_AREA_MOD} = 0 THEN 1 ELSE 0 END"
+        f" + CASE WHEN {member0} % {WAY_HIGHWAY_MOD} = 1 THEN 1 ELSE 0 END"
+        f" + CASE WHEN {member0} % {WAY_LANDUSE_MOD} = 0 THEN 1 ELSE 0 END"
+        f" + CASE WHEN {member0} % {WAY_BARRIER_MOD} = 0 THEN 1 ELSE 0 END)"
+    )
+    return f"""WITH r AS ({relations_sql()}),
+    ao AS (
+      SELECT * FROM r
+      WHERE visible AND {TILE_TS} >= ts AND (valid_to IS NULL OR {TILE_TS} < valid_to)
+    )
+    SELECT rel_id,
+           CASE WHEN {is_area} THEN 'multipolygon' ELSE 'collection' END AS kind,
+           {old_style} AS old_style,
+           CAST({n_outer} + 2 AS INT) AS n_members,
+           CAST(CASE WHEN {old_style} THEN {way_ntags} ELSE NULL END AS INT)
+             AS eff_way_tags
+    FROM ao
     """
 
 
@@ -3079,6 +3206,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "way_poly_area_with_hole": q_way_poly_area_with_hole,
     "relation_mp_area": q_relation_mp_area,
     "relation_pip": q_relation_pip,
+    "relation_geom_kinds": q_relation_geom_kinds,
     # -- tail: double-green in r1+r2, stable, oracle-tested locally -----
     "traj_length": q_traj_length,
     "token_stats_by_source": q_token_stats_by_source,
@@ -3156,6 +3284,7 @@ ORACLES: dict[str, str] = {
     "way_poly_area_with_hole": o_way_poly_area_with_hole(),
     "relation_mp_area": o_relation_mp_area(),
     "relation_pip": o_relation_pip(),
+    "relation_geom_kinds": o_relation_geom_kinds(),
     "way_kind_measures": o_way_kind_measures(),
     "relation_mod_ts": o_relation_mod_ts(),
     "way_concave_clipped_length": o_way_concave_clipped_length(),

@@ -51,7 +51,19 @@ W_BASE = 2_000_000
 W_STEP = 100_000
 H_BASE = 1_500_000
 H_STEP = 80_000
-SECOND_SHELL_MOD = 3  # rel_id % 3 == 0 -> two outer shells
+SECOND_SHELL_MOD = 3   # rel_id % 3 == 0 -> two outer shells
+SINGLE_OUTER_MOD = 4   # rel_id % 4 == 1 -> first outer ring stored as ONE
+#                        pre-closed arc (a single outer way member — the
+#                        old-style-multipolygon member shape); assembly
+#                        and areas are identical to the two-arc form
+
+# --- relation tag model (geometry-dispatch fixture) ------------------------
+# key ids from functions/taginterpreter.py; presence/value rules are pure
+# rel_id arithmetic, mirrored in the oracle SQL of relation_geom_kinds.
+REL_TYPE_MOD = 5    # rel_id % 5: 0,1 -> type=multipolygon; 3 -> boundary;
+#                     4 -> route; 2 -> NO type tag (collection fallback)
+REL_NAME_MOD = 2    # name (interesting) present iff rel_id % 2 == 0
+REL_SOURCE_MOD = 3  # source (uninteresting) present iff rel_id % 3 == 1
 
 
 def _rect_arcs(x0, y0, x1, y1, role: str, ring_hint: int):
@@ -79,6 +91,25 @@ def _rect_arcs(x0, y0, x1, y1, role: str, ring_hint: int):
             arc_b.alias("pts"),
         ),
     ]
+
+
+def _rect_closed_arc(x0, y0, x1, y1, role: str, ring_hint: int):
+    """The same rect ring as ONE pre-closed arc (SW,SE,NE,NW,SW) — the
+    single-outer-way member shape of old-style multipolygons; assembly
+    sees a first==last arc and emits the ring directly, with the exact
+    same vertex cycle (and therefore bit-identical area terms) as the
+    two-arc split."""
+
+    def pt(x, y):
+        return F.struct(x.cast("long").alias("x"), y.cast("long").alias("y"))
+
+    pts = F.array(pt(x0, y0), pt(x1, y0), pt(x1, y1), pt(x0, y1), pt(x0, y0))
+    return F.struct(
+        F.lit(role).alias("role"),
+        F.lit(ring_hint).alias("ring_hint"),
+        F.lit(0).alias("arc_idx"),
+        pts.alias("pts"),
+    )
 
 
 # member way references: each relation points at MEMBERS_PER_REL ways of
@@ -147,8 +178,18 @@ def derive_relation_members(ev: DataFrame, rel_mod: int = REL_MOD) -> DataFrame:
     # second disjoint shell, offset east by 2w
     sx0, sx1 = x0 + 2 * rw, x0 + 3 * rw
 
+    # rel_id % SINGLE_OUTER_MOD == 1 relations store the first outer ring
+    # as ONE pre-closed arc (single outer way member, the old-style-MP
+    # shape); everyone else splits it into two arcs with the second
+    # reversed. Both forms assemble to the identical vertex cycle.
+    single = F.col("rel_id") % SINGLE_OUTER_MOD == 1
+    outer_a, outer_b = _rect_arcs(x0, y0, x1, y1, "outer", 0)
+    outer_closed = _rect_closed_arc(x0, y0, x1, y1, "outer", 0)
     arcs = (
-        _rect_arcs(x0, y0, x1, y1, "outer", 0)
+        [
+            F.when(single, outer_closed).otherwise(outer_a),
+            F.when(~single, outer_b),
+        ]
         + _rect_arcs(ix0, iy0, ix1, iy1, "inner", 1)
         + [
             F.when(F.col("rel_id") % SECOND_SHELL_MOD == 0, a)
@@ -175,6 +216,38 @@ def derive_relation_members(ev: DataFrame, rel_mod: int = REL_MOD) -> DataFrame:
         F.transform(F.col("m.pts"), lambda p: p["x"]).alias("lon_arr"),
         F.transform(F.col("m.pts"), lambda p: p["y"]).alias("lat_arr"),
     )
+
+
+def with_relation_tags(rels: DataFrame) -> DataFrame:
+    """Append the relation tags map — the geometry-dispatch fixture
+    (``type`` with multipolygon/boundary/route values or absent, an
+    interesting ``name`` tag, an uninteresting ``source`` tag). Pure
+    rel_id arithmetic, mirrored in the relation_geom_kinds oracle."""
+    from oshdb_spark.functions.taginterpreter import (
+        NAME_KEY,
+        SOURCE_KEY,
+        TYPE_BOUNDARY,
+        TYPE_KEY,
+        TYPE_MULTIPOLYGON,
+        TYPE_ROUTE,
+    )
+    from oshdb_spark.sources.versions import conditional_tags_map
+
+    rid = F.col("rel_id")
+    m = rid % REL_TYPE_MOD
+    type_v = (
+        F.when(m.isin(0, 1), F.lit(TYPE_MULTIPOLYGON))
+        .when(m == 3, F.lit(TYPE_BOUNDARY))
+        .otherwise(F.lit(TYPE_ROUTE))
+    )
+    tags = conditional_tags_map(
+        [
+            (TYPE_KEY, m != 2, type_v),
+            (NAME_KEY, rid % REL_NAME_MOD == 0, F.lit(1)),
+            (SOURCE_KEY, rid % REL_SOURCE_MOD == 1, F.lit(1)),
+        ]
+    )
+    return rels.withColumn("tags", tags)
 
 
 # ---------------------------------------------------------------------------

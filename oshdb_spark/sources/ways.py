@@ -82,28 +82,51 @@ def derive_ways(ev: DataFrame, way_mod: int = WAY_MOD) -> DataFrame:
 # CLOSED rings (first vertex appended), so the isArea closure test is real.
 WAY_CLOSED_MOD = 2       # way_id % 2 == 0 -> closed ring
 WAY_BUILDING_MOD = 3     # key 1 present iff way_id % 3 == 0
+WAY_BUILDING_NO_MOD = 9  # ... with value no(0) iff way_id % 9 == 0, else yes(1)
 WAY_AREA_MOD = 5         # key 5 (area) present iff way_id % 5 == 0
 WAY_AREA_YES_MOD = 20    # ... with value yes(1) iff way_id % 20 == 0, else no(0)
 WAY_HIGHWAY_MOD = 4      # key 6 present iff way_id % 4 == 1 (NOT area-ish)
+WAY_LANDUSE_MOD = 7      # key 7 present iff way_id % 7 == 0 (whitelist mode)
+WAY_BARRIER_MOD = 11     # key 8 present iff way_id % 11 == 0 (blacklist mode)
+# landuse/barrier values cycle 1..3 by way_id % 3 + 1 — exercising the
+# whitelist exception (landuse=residential(2) present but NOT an area)
+# and the blacklist exception (only barrier=city_wall(3) IS an area)
 
 
 def with_way_tags(ways: DataFrame) -> DataFrame:
     """Append the tags map and close the ring of even way_ids — the
     TagInterpreter fixture decoration (leaves the base way table, and
-    therefore every existing oracle, untouched)."""
-    from oshdb_spark.functions.taginterpreter import AREA_KEY, BUILDING_KEY, HIGHWAY_KEY
+    therefore every existing oracle, untouched). The tag model spans
+    every polygon-features rule mode: building (mode "all", with
+    building=no rows), landuse (whitelist with a value exception),
+    barrier (blacklist), plus the explicit area override and a
+    non-dictionary highway key."""
+    from oshdb_spark.functions.taginterpreter import (
+        AREA_KEY,
+        BARRIER_KEY,
+        BUILDING_KEY,
+        HIGHWAY_KEY,
+        LANDUSE_KEY,
+    )
     from oshdb_spark.sources.versions import conditional_tags_map
 
     wid = F.col("way_id")
+    cycle3 = (wid % 3 + 1).cast("int")  # values 1..3
     tags = conditional_tags_map(
         [
-            (BUILDING_KEY, wid % WAY_BUILDING_MOD == 0, F.lit(1)),
+            (
+                BUILDING_KEY,
+                wid % WAY_BUILDING_MOD == 0,
+                F.when(wid % WAY_BUILDING_NO_MOD == 0, F.lit(0)).otherwise(F.lit(1)),
+            ),
             (
                 AREA_KEY,
                 wid % WAY_AREA_MOD == 0,
                 F.when(wid % WAY_AREA_YES_MOD == 0, F.lit(1)).otherwise(F.lit(0)),
             ),
             (HIGHWAY_KEY, wid % WAY_HIGHWAY_MOD == 1, F.lit(1)),
+            (LANDUSE_KEY, wid % WAY_LANDUSE_MOD == 0, cycle3),
+            (BARRIER_KEY, wid % WAY_BARRIER_MOD == 0, cycle3),
         ]
     )
     closed = wid % WAY_CLOSED_MOD == 0

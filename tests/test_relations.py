@@ -383,3 +383,70 @@ def test_fixture_assembly_identical_under_role_scramble(spark, sf_dir):
 
     a, b = result(m), result(scrambled)
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# skew probe: one giant relation through the salted gather
+# ---------------------------------------------------------------------------
+
+def test_giant_relation_salted_gather(spark):
+    """Hot-key probe (the coastline-style skew case claimed in
+    operators/relations.py): ONE relation with 1000 member arcs (500
+    disjoint shells) next to small relations. The salted two-stage
+    gather must (a) produce byte-identical assembly results to the
+    direct groupBy, and (b) actually add the second aggregation stage
+    to the plan (two exchanges)."""
+    import numpy as np
+
+    from oshdb_spark.operators.relations import (
+        _ring_signed_area_m2,
+        assemble_multipolygons,
+        collect_member_arcs,
+    )
+
+    rows = []
+    # giant relation 1: 500 disjoint rect shells, each split in 2 arcs
+    for i in range(500):
+        ox = i * 20_000_000
+        r = [(ox, 0), (ox + 4_000_000, 0), (ox + 4_000_000, 3_000_000), (ox, 3_000_000)]
+        rows.append((1, 1, 0, None, True, "outer", 2 * i,
+                     [r[0][0], r[1][0], r[2][0]], [r[0][1], r[1][1], r[2][1]]))
+        rows.append((1, 1, 0, None, True, "outer", 2 * i + 1,
+                     [r[0][0], r[3][0], r[2][0]], [r[0][1], r[3][1], r[2][1]]))
+    # two normal relations
+    for rel in (2, 3):
+        off = rel * 7_000_000
+        r = [(off, off), (off + 4_000_000, off),
+             (off + 4_000_000, off + 3_000_000), (off, off + 3_000_000)]
+        rows.append((rel, 1, 0, None, True, "outer", 0,
+                     [r[0][0], r[1][0], r[2][0]], [r[0][1], r[1][1], r[2][1]]))
+        rows.append((rel, 1, 0, None, True, "outer", 1,
+                     [r[0][0], r[3][0], r[2][0]], [r[0][1], r[3][1], r[2][1]]))
+    m = spark.createDataFrame(
+        rows,
+        "rel_id long, version int, ts long, valid_to long, visible boolean, "
+        "role string, arc_idx int, lon_arr array<long>, lat_arr array<long>",
+    )
+
+    def result(gathered):
+        out = assemble_multipolygons(gathered).select(
+            "rel_id", "mp.n_outer", "mp.n_inner", "mp.closed", "mp.area_m2"
+        )
+        return {r["rel_id"]: (r["n_outer"], r["n_inner"], r["closed"], r["area_m2"])
+                for r in out.collect()}
+
+    direct = result(collect_member_arcs(m))
+    salted = result(collect_member_arcs(m, salt=8))
+    assert direct == salted
+    assert direct[1][0] == 500 and direct[1][2] is True
+    off = 2 * 7_000_000  # rel 2's rect (C-D area is latitude-dependent)
+    ring = [(off, off), (off + 4_000_000, off),
+            (off + 4_000_000, off + 3_000_000), (off, off + 3_000_000), (off, off)]
+    one = abs(_ring_signed_area_m2([p[0] for p in ring], [p[1] for p in ring]))
+    assert direct[2][3] == pytest.approx(one, rel=1e-9)
+
+    # the salted plan really has the extra partial-gather stage
+    plan = collect_member_arcs(m, salt=8)._jdf.queryExecution().executedPlan().toString()
+    n_agg_exchanges = plan.count("hashpartitioning")
+    plain = collect_member_arcs(m)._jdf.queryExecution().executedPlan().toString()
+    assert n_agg_exchanges > plain.count("hashpartitioning")
