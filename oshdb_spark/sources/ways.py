@@ -241,46 +241,39 @@ def docs_to_ways(docs: DataFrame) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy("offset")
     s = s.withColumn("vidx", F.sum((F.col("kind") == "meta").cast("int")).over(w))
 
-    meta_re = r"v=(-?\d+);ts=(-?\d+);cs=(-?\d+);uid=(-?\d+);vis=([01]);type=(\w+)"
-    coords = F.split(F.regexp_replace(F.col("text"), r"^line:", ""), ";")
+    # one str_to_map parse per meta span + substring_index coordinate
+    # split (per-field regex was 3x the work; see sources/docs.py)
+    s = s.withColumn(
+        "mm",
+        F.when(
+            F.col("kind") == "meta",
+            F.str_to_map(F.col("text"), F.lit(";"), F.lit("=")),
+        ),
+    )
+    coords = F.split(F.substring_index(F.col("text"), ":", -1), ";")
     lon_arr = F.transform(
-        coords, lambda p: F.split(p, ",").getItem(0).cast("long")
+        coords, lambda p: F.substring_index(p, ",", 1).cast("long")
     )
     lat_arr = F.transform(
-        coords, lambda p: F.split(p, ",").getItem(1).cast("long")
+        coords, lambda p: F.substring_index(p, ",", -1).cast("long")
     )
 
     out = s.groupBy("doc_id", "vidx").agg(
-        F.max(
-            F.when(
-                F.col("kind") == "meta",
-                F.regexp_extract(F.col("text"), meta_re, 1).cast("int"),
-            )
-        ).alias("version"),
-        F.max(
-            F.when(
-                F.col("kind") == "meta",
-                F.regexp_extract(F.col("text"), meta_re, 2).cast("long"),
-            )
-        ).alias("ts"),
-        (
-            F.max(
-                F.when(
-                    F.col("kind") == "meta",
-                    F.regexp_extract(F.col("text"), meta_re, 5).cast("int"),
-                )
-            )
-            == 1
-        ).alias("visible"),
+        F.max(F.col("mm").getItem("v").cast("int")).alias("version"),
+        F.max(F.col("mm").getItem("ts").cast("long")).alias("ts"),
+        (F.max(F.col("mm").getItem("vis").cast("int")) == 1).alias("visible"),
         F.max(F.when(F.col("kind") == "geom", lon_arr)).alias("lon_arr"),
         F.max(F.when(F.col("kind") == "geom", lat_arr)).alias("lat_arr"),
     )
-    w2 = Window.partitionBy("way_id").orderBy("version")
-    return out.select(
+    # valid_to windows by doc_id (bijective with way_id) so the groupBy
+    # partitioning is reused — no extra shuffle
+    w2 = Window.partitionBy("doc_id").orderBy("version")
+    return out.withColumn("valid_to", F.lead("ts").over(w2)).select(
         F.substring(F.col("doc_id"), 2, 100).cast("long").alias("way_id"),
         "version",
         "ts",
         "visible",
         "lon_arr",
         "lat_arr",
-    ).withColumn("valid_to", F.lead("ts").over(w2))
+        "valid_to",
+    )
