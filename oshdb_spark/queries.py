@@ -3015,6 +3015,57 @@ def o_approx_quantiles() -> str:
     """
 
 
+def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """estimatedQuantiles through a REAL t-digest (the reference's
+    sketch, TDigestReducer.java:21-39; merging-digest re-derivation in
+    operators/tdigest.py) as a distributed two-stage reducer: per-
+    partition centroid compaction, centroid-only shuffle, monoid merge.
+    Gated exactly like the approx_percentile path: exact percentiles as
+    value columns plus within-rank-tolerance booleans the oracle
+    predicts as TRUE — sketch internals stay free, the contract is
+    what's checked."""
+    from oshdb_spark.operators.tdigest import tdigest_quantiles
+
+    v = load_versions(spark, sf_dir)
+    t = snapshot_timestamps(spark, SNAPSHOT_TS)
+    snap = snapshots(v, t)
+    val = F.col("lon_e7").cast("double")
+    qs = [0.25, 0.5, 0.75]
+    m = APPROX_Q_MARGIN
+    est = tdigest_quantiles(
+        snap.select("snap_ts", val.alias("v")), "v", ["snap_ts"], qs, delta=500.0
+    )
+    lo = F.array(*[F.lit(q - m) for q in qs])
+    hi = F.array(*[F.lit(q + m) for q in qs])
+    exact = snap.groupBy("snap_ts").agg(
+        F.percentile(val, F.array(*[F.lit(q) for q in qs])).alias("e"),
+        F.percentile(val, lo).alias("lo"),
+        F.percentile(val, hi).alias("hi"),
+    )
+    j = est.join(exact, "snap_ts")
+    return j.select(
+        "snap_ts",
+        *[
+            F.round(F.col("e")[i], 6).alias(f"p{int(q * 100)}_exact")
+            for i, q in enumerate(qs)
+        ],
+        *[
+            (
+                (F.col(f"q_{int(q * 100)}") >= F.col("lo")[i])
+                & (F.col(f"q_{int(q * 100)}") <= F.col("hi")[i])
+            ).alias(f"p{int(q * 100)}_ok")
+            for i, q in enumerate(qs)
+        ],
+    )
+
+
+def o_tdigest_quantiles() -> str:
+    # identical contract surface to o_approx_quantiles: the oracle
+    # computes the exact percentiles and predicts every tolerance
+    # boolean TRUE
+    return o_approx_quantiles()
+
+
 def q_rollup_ts_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals via ROLLUP over (snap_ts, tag_v): the
     OSHDBCombinedIndex nesting (OSHDBCombinedIndex.java:9-69) plus the
@@ -3207,6 +3258,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "relation_mp_area": q_relation_mp_area,
     "relation_pip": q_relation_pip,
     "relation_geom_kinds": q_relation_geom_kinds,
+    "tdigest_quantiles": q_tdigest_quantiles,
     # -- tail: double-green in r1+r2, stable, oracle-tested locally -----
     "traj_length": q_traj_length,
     "token_stats_by_source": q_token_stats_by_source,
@@ -3285,6 +3337,7 @@ ORACLES: dict[str, str] = {
     "relation_mp_area": o_relation_mp_area(),
     "relation_pip": o_relation_pip(),
     "relation_geom_kinds": o_relation_geom_kinds(),
+    "tdigest_quantiles": o_tdigest_quantiles(),
     "way_kind_measures": o_way_kind_measures(),
     "relation_mod_ts": o_relation_mod_ts(),
     "way_concave_clipped_length": o_way_concave_clipped_length(),
