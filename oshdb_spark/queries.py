@@ -2357,12 +2357,16 @@ def q_relation_geom_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oshdb_spark.sources.ways import WAY_MOD, derive_ways, with_way_tags
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    m = derive_relation_members(ev).transform(_asof_visible)
+    # one as-of pass over relation versions, shared (localCheckpoint)
+    # by the member fan-out and the tag path — arcs are built only for
+    # the ~|relations| surviving versions, not full history
+    asof = derive_relations(ev).transform(_asof_visible).localCheckpoint(eager=False)
+    m = derive_relation_members(ev, rels=asof)
     counts = m.groupBy("rel_id").agg(
         F.sum((F.col("role") == "outer").cast("int")).alias("n_outer_members"),
         F.count(F.lit(1)).alias("n_members"),
     )
-    r = with_relation_tags(derive_relations(ev).transform(_asof_visible))
+    r = with_relation_tags(asof)
     j = r.join(counts, "rel_id")
     j = j.withColumn("kind", relation_geom_kind_col(F.col("tags"))).withColumn(
         "old_style",
@@ -3028,7 +3032,10 @@ def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = load_versions(spark, sf_dir)
     t = snapshot_timestamps(spark, SNAPSHOT_TS)
-    snap = snapshots(v, t)
+    # the digest branch and the exact-percentile gate branch both read
+    # the snapshot subtree — localCheckpoint materializes it once
+    # instead of twice (CLAUDE.md self-join invariant)
+    snap = snapshots(v, t).localCheckpoint(eager=False)
     val = F.col("lon_e7").cast("double")
     qs = [0.25, 0.5, 0.75]
     m = APPROX_Q_MARGIN

@@ -157,13 +157,19 @@ def derive_relations(ev: DataFrame, rel_mod: int = REL_MOD) -> DataFrame:
     )
 
 
-def derive_relation_members(ev: DataFrame, rel_mod: int = REL_MOD) -> DataFrame:
+def derive_relation_members(
+    ev: DataFrame, rel_mod: int = REL_MOD, rels: DataFrame | None = None
+) -> DataFrame:
     """relation member arcs, one row per (rel version, arc):
     (rel_id, version, ts, valid_to, visible, role, ring_hint, arc_idx,
     lon_arr, lat_arr). ``ring_hint`` is NOT used by assembly (rings are
     discovered by endpoint chaining) — it only labels the fixture for
-    tests."""
-    v = derive_relations(ev, rel_mod)
+    tests.
+
+    Pass a pre-filtered ``rels`` frame (e.g. the as-of snapshot of
+    ``derive_relations``) to build arcs only for surviving versions —
+    callers that don't need full history skip the fan-out entirely."""
+    v = rels if rels is not None else derive_relations(ev, rel_mod)
     x0 = (F.col("rel_id") * LON_A % LON_SPAN - LON_OFF).cast("long")
     y0 = (F.col("rel_id") * LAT_A % LAT_SPAN - LAT_OFF).cast("long")
     rw = (F.lit(W_BASE) + (F.col("version") % 5) * W_STEP).cast("long")
