@@ -55,12 +55,16 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
     _noop = _pudf(lambda s: s, "long")
     spark.range(1000).select(_noop(FF.col("id"))).count()
-    # one real catalog query untimed: warms whole-stage codegen, window
-    # exec, broadcast machinery and the Arrow serializers that the tiny
-    # synthetic warmups above don't reach — otherwise whichever queries
-    # sit at the head of the (deliberately ordered) catalog absorb
-    # several seconds of first-use JIT and read as false regressions
-    QUERIES["snapshot_count_by_ts"](spark, sf_dir).count()
+    # three real catalog queries untimed: warm whole-stage codegen +
+    # window exec (snapshot), the ArrowEvalPython serializer path
+    # (entity_bbox_area), and broadcast + grouped-pandas machinery
+    # (ivf) — the tiny synthetic warmups above don't reach them, and
+    # without this whichever queries sit at the head of the
+    # (deliberately ordered) catalog absorb seconds of first-use JIT
+    # that read as false regressions (measured 2-4x on head positions
+    # while tail positions matched the prior round to 0.01 s)
+    for _wq in ("snapshot_count_by_ts", "entity_bbox_area", "ivf_ann_top5"):
+        QUERIES[_wq](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     rows = 0

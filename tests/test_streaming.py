@@ -161,3 +161,50 @@ def test_streaming_dedup_keep_first(spark, sf_dir, tmp_path):
     assert set(keeps["doc_id"].astype(int)) == {
         r["m"] for r in batch.collect()
     }
+
+
+def test_streaming_raster_tiles_match_batch(spark, sf_dir, staged_events, tmp_path):
+    """Incremental tile maintenance: the streamed windowed per-tile
+    counts equal the batch computation of the same expression (tile
+    assignment reuses the exact batch cell math, so (zoom,x,y) is
+    bit-identical)."""
+    from oshdb_spark.sources.versions import load_versions
+    from oshdb_spark.streaming.tile_stream import (
+        batch_raster_tiles_windowed,
+        stream_raster_tiles,
+    )
+
+    zoom, win = 4, "6 hours"
+    batch_df = batch_raster_tiles_windowed(
+        load_versions(spark, sf_dir).select(*COLS), zoom, window=win
+    )
+    batch = {
+        (r["win_start"], r["zoom"], r["x"], r["y"]): (r["n_events"], r["n_visible"])
+        for r in batch_df.collect()
+    }
+
+    src = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(staged_events / "batch*"))
+    )
+    # generous watermark: nothing in the fixture is ever late-dropped,
+    # so exact equality with batch holds
+    out = stream_raster_tiles(src, zoom, window=win, watermark="3650 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tile_stream_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "tile_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["win_start"], r["zoom"], r["x"], r["y"]): (r["n_events"], r["n_visible"])
+        for r in spark.table("tile_stream_test").collect()
+    }
+    assert got == batch and len(got) > 5
