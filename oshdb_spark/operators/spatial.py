@@ -636,3 +636,86 @@ def aggregate_by_rect_regions(
         & (F.col("lat_e7") >= F.col("_r.min_lat"))
         & (F.col("lat_e7") <= F.col("_r.max_lat"))
     ).withColumn("region_key", F.col("_r.region_key")).drop("_r")
+
+
+def clipped_bbox_region_areas(
+    boxes: DataFrame, regions: dict[str, tuple[int, int, int, int]]
+) -> DataFrame:
+    """GeometrySplitter semantics for AREA features
+    (``GeometrySplitter.java:80-203`` applied to polygons): every
+    (entity bbox ring, rect sub-region) pair with positive overlap gets
+    the CLIPPED ring's Chamberlain-Duquette area. The clip deliberately
+    runs through ``clip_ring_convex`` (Sutherland-Hodgman, the general
+    convex polygon-clip kernel) rather than a rect-intersection
+    shortcut — the catalog oracle computes the intersection rect
+    symbolically, so the kernel's output is what gets gated. Clipped
+    ring areas batch through the ragged reduceat kernel
+    (operators/relations._batch_ring_areas); only the tiny 4-vertex
+    S-H loop is per-row Python (same acceptance as ring chaining).
+
+    ``boxes``: (entity_id, min_lon, min_lat, max_lon, max_lat) in e7.
+    Returns (entity_id, region_key, area_m2) for positive overlaps.
+    """
+    from oshdb_spark.operators.relations import _batch_ring_areas
+
+    entries = [
+        F.struct(
+            F.lit(name).alias("region_key"),
+            F.lit(b[0]).cast("long").alias("rx0"),
+            F.lit(b[1]).cast("long").alias("ry0"),
+            F.lit(b[2]).cast("long").alias("rx1"),
+            F.lit(b[3]).cast("long").alias("ry1"),
+        )
+        for name, b in regions.items()
+    ]
+    exploded = boxes.withColumn("_r", F.explode(F.array(*entries))).select(
+        "*", "_r.*"
+    )
+    pos = exploded.filter(
+        (F.least(F.col("max_lon"), F.col("rx1")) > F.greatest(F.col("min_lon"), F.col("rx0")))
+        & (F.least(F.col("max_lat"), F.col("ry1")) > F.greatest(F.col("min_lat"), F.col("ry0")))
+    )
+
+    @pandas_udf("double")
+    def _clip_area(
+        minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series,
+        rx0: pd.Series, ry0: pd.Series, rx1: pd.Series, ry1: pd.Series,
+    ) -> pd.Series:
+        n = len(minx)
+        mnx, mny = minx.to_numpy(), miny.to_numpy()
+        mxx, mxy = maxx.to_numpy(), maxy.to_numpy()
+        cx0, cy0 = rx0.to_numpy(), ry0.to_numpy()
+        cx1, cy1 = rx1.to_numpy(), ry1.to_numpy()
+        flat_lon: list[np.ndarray] = []
+        flat_lat: list[np.ndarray] = []
+        rows: list[int] = []
+        for i in range(n):
+            sx = np.array([mnx[i], mxx[i], mxx[i], mnx[i]], dtype=np.float64)
+            sy = np.array([mny[i], mny[i], mxy[i], mxy[i]], dtype=np.float64)
+            kx = np.array([cx0[i], cx1[i], cx1[i], cx0[i]], dtype=np.float64)
+            ky = np.array([cy0[i], cy0[i], cy1[i], cy1[i]], dtype=np.float64)
+            ox, oy = clip_ring_convex(sx, sy, kx, ky)
+            if len(ox) >= 3:
+                flat_lon.append(np.append(ox, ox[0]))  # close the ring
+                flat_lat.append(np.append(oy, oy[0]))
+                rows.append(i)
+        out = np.zeros(n, dtype=np.float64)
+        if rows:
+            lens = np.array([len(v) for v in flat_lon], dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            areas = _batch_ring_areas(
+                np.concatenate(flat_lon), np.concatenate(flat_lat), starts, lens
+            )
+            out[np.array(rows)] = areas
+        return pd.Series(out)
+
+    return pos.select(
+        "entity_id",
+        "region_key",
+        _clip_area(
+            F.col("min_lon").cast("double"), F.col("min_lat").cast("double"),
+            F.col("max_lon").cast("double"), F.col("max_lat").cast("double"),
+            F.col("rx0").cast("double"), F.col("ry0").cast("double"),
+            F.col("rx1").cast("double"), F.col("ry1").cast("double"),
+        ).alias("area_m2"),
+    )

@@ -1246,6 +1246,80 @@ def o_entity_bbox_area() -> str:
     """
 
 
+def q_bbox_region_clipped_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeometrySplitter for AREA features (GeometrySplitter.java:80-203
+    applied to polygons): each entity's bbox ring is clipped to every
+    positively-overlapping rect sub-region through the
+    Sutherland-Hodgman kernel (clip_ring_convex — the general convex
+    polygon clip, NOT a rect-intersection shortcut) and the clipped
+    ring's Chamberlain-Duquette area is emitted per (entity, region).
+    The oracle derives the intersection rect symbolically, so the
+    kernel's ring output is what gets gated; the measure is integer
+    milli-km^2 (floor(x+0.5)) — the env-proof parity surface.
+
+    Node entities are (near-)point features (the fixture moves them
+    only in latitude), so the footprint is the bbox BUFFERED by a
+    deterministic per-entity half-extent — the buffered-geometry
+    pattern a real splitter applies to point features — which makes
+    rects genuinely straddle region edges."""
+    from oshdb_spark.operators.spatial import clipped_bbox_region_areas
+
+    v = load_versions(spark, sf_dir)
+    hw = ((F.col("entity_id") % 10 + 1) * 30_000_000).cast("long")
+    hh = ((F.col("entity_id") % 7 + 1) * 20_000_000).cast("long")
+    boxes = (
+        v.filter(F.col("visible"))
+        .groupBy("entity_id")
+        .agg(
+            F.min("lon_e7").alias("lo_lon"),
+            F.min("lat_e7").alias("lo_lat"),
+            F.max("lon_e7").alias("hi_lon"),
+            F.max("lat_e7").alias("hi_lat"),
+        )
+        .select(
+            "entity_id",
+            (F.col("lo_lon") - hw).alias("min_lon"),
+            (F.col("lo_lat") - hh).alias("min_lat"),
+            (F.col("hi_lon") + hw).alias("max_lon"),
+            (F.col("hi_lat") + hh).alias("max_lat"),
+        )
+    )
+    out = clipped_bbox_region_areas(boxes, REGIONS)
+    return out.select(
+        "entity_id",
+        "region_key",
+        F.floor(F.col("area_m2") / 1e3 + 0.5).cast("long").alias("clip_mkm2"),
+    )
+
+
+def o_bbox_region_clipped_area() -> str:
+    rows = ", ".join(
+        f"('{name}', {b[0]}, {b[1]}, {b[2]}, {b[3]})" for name, b in REGIONS.items()
+    )
+    ix0, iy0 = "greatest(min_lon, rx0)", "greatest(min_lat, ry0)"
+    ix1, iy1 = "least(max_lon, rx1)", "least(max_lat, ry1)"
+    t0 = f"(radians(({ix1}) * 1e-7) - radians(({ix0}) * 1e-7)) * sin(radians(({iy0}) * 1e-7))"
+    t1 = f"(radians(({ix0}) * 1e-7) - radians(({ix1}) * 1e-7)) * sin(radians(({iy1}) * 1e-7))"
+    t3 = f"(radians(({ix0}) * 1e-7) - radians(({ix0}) * 1e-7)) * sin(radians(({iy0}) * 1e-7))"
+    return f"""{_versions_cte()},
+    b AS (
+      SELECT entity_id,
+             min(lon_e7) - (entity_id % 10 + 1) * 30000000 AS min_lon,
+             min(lat_e7) - (entity_id % 7 + 1) * 20000000 AS min_lat,
+             max(lon_e7) + (entity_id % 10 + 1) * 30000000 AS max_lon,
+             max(lat_e7) + (entity_id % 7 + 1) * 20000000 AS max_lat
+      FROM {_V} WHERE visible GROUP BY entity_id
+    )
+    SELECT entity_id, region_key,
+           CAST(floor(abs(
+             (((({t0}) + ({t1})) + ({t1})) + ({t3})) + ({t0})
+           ) * 6371000.0 * 6371000.0 / 2.0 / 1e3 + 0.5) AS BIGINT) AS clip_mkm2
+    FROM b, (VALUES {rows}) r(region_key, rx0, ry0, rx1, ry1)
+    WHERE least(max_lon, rx1) > greatest(min_lon, rx0)
+      AND least(max_lat, ry1) > greatest(min_lat, ry0)
+    """
+
+
 # ---------------------------------------------------------------------------
 # interleaved-docs round trip (the graft's physical input path)
 # ---------------------------------------------------------------------------
@@ -3266,6 +3340,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "relation_pip": q_relation_pip,
     "relation_geom_kinds": q_relation_geom_kinds,
     "tdigest_quantiles": q_tdigest_quantiles,
+    "bbox_region_clipped_area": q_bbox_region_clipped_area,
     # -- tail: double-green in r1+r2, stable, oracle-tested locally -----
     "traj_length": q_traj_length,
     "token_stats_by_source": q_token_stats_by_source,
@@ -3345,6 +3420,7 @@ ORACLES: dict[str, str] = {
     "relation_pip": o_relation_pip(),
     "relation_geom_kinds": o_relation_geom_kinds(),
     "tdigest_quantiles": o_tdigest_quantiles(),
+    "bbox_region_clipped_area": o_bbox_region_clipped_area(),
     "way_kind_measures": o_way_kind_measures(),
     "relation_mod_ts": o_relation_mod_ts(),
     "way_concave_clipped_length": o_way_concave_clipped_length(),
