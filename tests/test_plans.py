@@ -138,3 +138,40 @@ def test_zerofill_join_has_no_forced_broadcast(spark, sf_dir):
     rows = {r["source"]: r["cnt"] for r in filled.collect()}
     assert rows.get("zz_missing") == 0 and len(rows) == 4
     assert all(rows[s] > 0 for s in real)
+
+
+def test_relation_geom_kinds_broadcasts_keytable(spark, sf_dir):
+    """The old-style tag resolution joins the way keytable via
+    BroadcastHashJoin (tiny dim), and the rule-table dispatch itself is
+    pure Column — no Python evaluator anywhere in the plan."""
+    from oshdb_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["relation_geom_kinds"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad
+
+
+def test_clipped_area_kernel_sees_only_overlaps(spark, sf_dir):
+    """The positive-overlap prefilter sits BELOW the Sutherland-Hodgman
+    Arrow kernel: non-overlapping (entity, region) pairs never reach
+    Python (the union/prune discipline of CLAUDE.md)."""
+    from oshdb_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["bbox_region_clipped_area"](spark, sf_dir))
+    assert "ArrowEvalPython" in plan
+    # the filter must appear under (after, in toString order) the kernel
+    k = plan.index("ArrowEvalPython")
+    assert "Filter" in plan[k:], "overlap prefilter not below the kernel"
+    head = plan[:k]
+    assert "ArrowEvalPython" not in head[:max(0, k - 1)]
+
+
+def test_tdigest_shuffle_carries_centroids_not_rows(spark, sf_dir):
+    """The t-digest reducer's final merge consumes the grouped-pandas
+    PARTIAL stage (centroid arrays), not raw value rows: two
+    FlatMapGroupsInPandas stages appear, partial below final."""
+    from oshdb_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["tdigest_quantiles"](spark, sf_dir))
+    assert plan.count("FlatMapGroupsInPandas") == 2
