@@ -1184,20 +1184,37 @@ def o_unknown_tag_zero() -> str:
 # ---------------------------------------------------------------------------
 
 def q_entity_bbox_area(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-entity bbox ring area via the reference's spherical-excess
-    formula (Geo.java:147-179 semantics; numpy port in functions/geo.py),
-    batched through one Arrow exchange — the areaOf measure the
-    reference applies to snapshot geometries."""
+    """Per-entity ENLARGED-bbox ring area via the reference's
+    spherical-excess formula (Geo.java:147-179 semantics; numpy port in
+    functions/geo.py), batched through one Arrow exchange — the areaOf
+    measure applied to the bbox after the reference's ``enlarge``
+    expansion (OSHDBBoundingBox enlarge semantics). The deterministic
+    per-entity buffer matters: the fixture moves node entities only in
+    latitude, so the RAW bbox is zero-width and every area would be a
+    vacuous 0 — the buffer makes the measure data-dependent."""
     import pandas as pd
 
     from oshdb_spark.functions.geo import bbox_rings_area_e7
 
     v = load_versions(spark, sf_dir)
-    boxes = v.filter(F.col("visible")).groupBy("entity_id").agg(
-        F.min("lon_e7").alias("min_lon"),
-        F.min("lat_e7").alias("min_lat"),
-        F.max("lon_e7").alias("max_lon"),
-        F.max("lat_e7").alias("max_lat"),
+    hw = ((F.col("entity_id") % 9 + 1) * 10_000_000).cast("long")
+    hh = ((F.col("entity_id") % 5 + 1) * 8_000_000).cast("long")
+    boxes = (
+        v.filter(F.col("visible"))
+        .groupBy("entity_id")
+        .agg(
+            F.min("lon_e7").alias("lo_lon"),
+            F.min("lat_e7").alias("lo_lat"),
+            F.max("lon_e7").alias("hi_lon"),
+            F.max("lat_e7").alias("hi_lat"),
+        )
+        .select(
+            "entity_id",
+            (F.col("lo_lon") - hw).alias("min_lon"),
+            (F.col("lo_lat") - hh).alias("min_lat"),
+            (F.col("hi_lon") + hw).alias("max_lon"),
+            (F.col("hi_lat") + hh).alias("max_lat"),
+        )
     )
 
     def _area_fn(min_lon, min_lat, max_lon, max_lat):
@@ -1234,9 +1251,11 @@ def o_entity_bbox_area() -> str:
     return f"""{_versions_cte()},
     b AS (
       SELECT entity_id,
-             min(lon_e7) AS min_lon, min(lat_e7) AS min_lat,
-             max(lon_e7) AS max_lon, max(lat_e7) AS max_lat
-      FROM {_V} WHERE visible GROUP BY 1
+             min(lon_e7) - (entity_id % 9 + 1) * 10000000 AS min_lon,
+             min(lat_e7) - (entity_id % 5 + 1) * 8000000 AS min_lat,
+             max(lon_e7) + (entity_id % 9 + 1) * 10000000 AS max_lon,
+             max(lat_e7) + (entity_id % 5 + 1) * 8000000 AS max_lat
+      FROM {_V} WHERE visible GROUP BY entity_id
     )
     SELECT entity_id,
            CAST(floor(abs(
