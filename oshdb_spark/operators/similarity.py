@@ -184,3 +184,123 @@ def ivf_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH: random-hyperplane signatures for embedding near-dup at scale
+# ---------------------------------------------------------------------------
+
+SRP_SEED = 29
+SRP_BITS = 32
+SRP_BAND_BITS = 8
+
+
+def srp_hyperplanes(
+    dim: int, bits: int = SRP_BITS, seed: int = SRP_SEED
+) -> list[list[float]]:
+    """Deterministic random-hyperplane matrix (bits x dim). Seeded, so
+    the SQL oracle can consume the exact same literals — and re-runs /
+    resumes see identical signatures."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim)).tolist()
+
+
+def srp_band_cols(e, planes: list[list[float]], band_bits: int = SRP_BAND_BITS):
+    """Signature band Columns from JVM-side sequential dot-product
+    folds (zip_with + aggregate, strictly left-to-right — the same
+    accumulation order the SQL oracle's list_dot_product applies, so
+    the sign of each projection matches bit-for-bit). Each band packs
+    ``band_bits`` sign bits into one small int — the LSH bucket key."""
+    def dot_lit(row):
+        arr = F.array(*[F.lit(float(x)) for x in row])
+        return F.aggregate(
+            F.zip_with(e, arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bits = [(dot_lit(row) >= 0).cast("int") for row in planes]
+    nb = len(planes) // band_bits
+    bands = []
+    for b in range(nb):
+        val = F.lit(0)
+        for i in range(band_bits):
+            val = val + bits[b * band_bits + i] * F.lit(1 << i)
+        bands.append(val.alias(f"band{b}"))
+    return bands
+
+
+def srp_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float | None,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    bits: int = SRP_BITS,
+    band_bits: int = SRP_BAND_BITS,
+) -> DataFrame:
+    """Embedding near-duplicate candidates via SRP-LSH banding:
+    candidates must share at least one signature band (hash-join bucket
+    keys — never an all-pairs product), then the exact cosine is
+    attached per candidate. The scale path of embedding dedup: at 10^12
+    rows the band columns are the shuffle/partition keys and candidate
+    volume follows collision probability (1 - theta/pi)^band_bits per
+    band, not n^2. Recall vs the brute-force twin is measured in
+    pytest — SRP banding is a high-recall filter for HIGH thresholds
+    (near-dup); at low thresholds it is deliberately lossy, which is
+    why the brute-force twin stays the verifier.
+
+    ``threshold=None`` returns every verified candidate (callers add
+    their own cut); a float filters to cosine >= threshold. Returns
+    (id_a, id_b, cosine) with cosine rounded to 6 decimals.
+    """
+    planes = srp_hyperplanes(dim, bits)
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col(vec_col), F.col(vec_col), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    sig = vectors.select(
+        F.col(id_col).alias("sid"),
+        F.col(vec_col).alias("sv"),
+        norm.alias("sn"),
+        *srp_band_cols(F.col(vec_col), planes, band_bits),
+    ).localCheckpoint(eager=False)  # 32 folds: never recompute per join branch
+    nb = bits // band_bits
+    banded = sig.select(
+        "sid",
+        "sv",
+        "sn",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(nb)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .select(
+            F.col("a.sid").alias("id_a"),
+            F.col("b.sid").alias("id_b"),
+            F.col("a.sv").alias("va"),
+            F.col("b.sv").alias("vb"),
+            F.col("a.sn").alias("na"),
+            F.col("b.sn").alias("nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / (F.col("na") * F.col("nb"))
+    out = cand.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    if threshold is not None:
+        out = out.filter(F.col("cosine") >= threshold)
+    return out

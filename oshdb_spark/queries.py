@@ -1463,6 +1463,7 @@ def o_word_jaccard_pairs() -> str:
 
 NEARDUP_MOD = 20
 NEARDUP_COS = 0.25
+SRP_MOD = 5  # wider subset for the SRP gate: band collisions need volume
 
 
 def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1494,6 +1495,81 @@ def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= NEARDUP_COS)
     )
+
+
+def q_srp_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via SRP-LSH (random-hyperplane signatures,
+    Charikar's SimHash-for-cosine): 32 deterministic hyperplane
+    projections -> 4 banded 8-bit bucket keys -> equi-join candidates ->
+    exact cosine verify. THE scale path of embedding dedup — candidate
+    generation is a hash join on band keys, never the O(n^2) product of
+    the brute-force twin (embed_neardup_pairs, which remains the
+    verifier). The gate emits EVERY band-collision candidate with its
+    verified cosine plus the threshold boolean (the fixture embeddings
+    are near-orthogonal, so thresholded rows alone would be a vacuous
+    empty set); the oracle runs the SAME algorithm in SQL (the seeded
+    hyperplanes are shared as literals), so signatures, banding, the
+    candidate join, dedup and the verify all get checked, and a pytest
+    reports recall vs brute force separately."""
+    from oshdb_spark.operators.similarity import srp_neardup_pairs
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % SRP_MOD == 0)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    cands = srp_neardup_pairs(emb, None, dim=64)
+    return cands.select(
+        "id_a", "id_b", "cosine", (F.col("cosine") >= NEARDUP_COS).alias("is_neardup")
+    )
+
+
+def o_srp_neardup_pairs() -> str:
+    from oshdb_spark.operators.similarity import (
+        SRP_BAND_BITS,
+        SRP_BITS,
+        srp_hyperplanes,
+    )
+
+    planes = srp_hyperplanes(64)
+
+    def lit_arr(row):
+        return "[" + ", ".join(repr(float(x)) for x in row) + "]::DOUBLE[]"
+
+    bit_exprs = [
+        f"(CASE WHEN list_dot_product(e, {lit_arr(row)}) >= 0 THEN 1 ELSE 0 END)"
+        for row in planes
+    ]
+    nb = SRP_BITS // SRP_BAND_BITS
+    band_cols = []
+    for b in range(nb):
+        terms = " + ".join(
+            f"{bit_exprs[b * SRP_BAND_BITS + i]} * {1 << i}"
+            for i in range(SRP_BAND_BITS)
+        )
+        band_cols.append(f"({terms}) AS band{b}")
+    bands_sql = ", ".join(band_cols)
+    or_bands = " OR ".join(f"a.band{b} = b.band{b}" for b in range(nb))
+    cos = "round(list_dot_product(x.e, y.e) / (x.n * y.n), 6)"
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE vec_id % {SRP_MOD} = 0
+    ),
+    s AS (
+      SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS n, {bands_sql}
+      FROM v
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM s a JOIN s b ON a.vec_id < b.vec_id AND ({or_bands})
+    )
+    SELECT c.id_a, c.id_b, {cos} AS cosine,
+           {cos} >= {NEARDUP_COS} AS is_neardup
+    FROM cand c
+    JOIN s x ON x.vec_id = c.id_a
+    JOIN s y ON y.vec_id = c.id_b
+    """
 
 
 def o_embed_neardup_pairs() -> str:
@@ -3360,6 +3436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "relation_geom_kinds": q_relation_geom_kinds,
     "tdigest_quantiles": q_tdigest_quantiles,
     "bbox_region_clipped_area": q_bbox_region_clipped_area,
+    "srp_neardup_pairs": q_srp_neardup_pairs,
     # -- tail: double-green in r1+r2, stable, oracle-tested locally -----
     "traj_length": q_traj_length,
     "token_stats_by_source": q_token_stats_by_source,
@@ -3440,6 +3517,7 @@ ORACLES: dict[str, str] = {
     "relation_geom_kinds": o_relation_geom_kinds(),
     "tdigest_quantiles": o_tdigest_quantiles(),
     "bbox_region_clipped_area": o_bbox_region_clipped_area(),
+    "srp_neardup_pairs": o_srp_neardup_pairs(),
     "way_kind_measures": o_way_kind_measures(),
     "relation_mod_ts": o_relation_mod_ts(),
     "way_concave_clipped_length": o_way_concave_clipped_length(),

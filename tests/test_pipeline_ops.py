@@ -185,3 +185,52 @@ def test_token_count_edge_cases(spark):
     )
     r = df.collect()[0]
     assert (r["empty"], r["blank"], r["one"], r["two"]) == (0, 0, 1, 2)
+
+
+def test_srp_lsh_recovers_planted_neardups(spark):
+    """SRP-LSH recall contract: planted near-identical embeddings
+    (cosine ~0.99+) must surface as band-collision candidates — at
+    ~11 degrees the per-band collision probability is ~0.6, so across
+    4 bands a miss is ~2.6% per pair; 20 planted pairs with >= 80%
+    required recall keeps the test far from flakiness while proving
+    banding actually recalls near-dups (the fixture's near-orthogonal
+    pairs deliberately do NOT collide — vacuity guard)."""
+    import numpy as np
+
+    from oshdb_spark.operators.similarity import srp_neardup_pairs
+
+    rng = np.random.default_rng(41)
+    base = rng.standard_normal((20, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        noisy = v + 0.05 * rng.standard_normal(64)  # cosine ~0.999
+        rows.append((2 * i + 1, [float(x) for x in noisy]))
+    df = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    got = srp_neardup_pairs(df, 0.9, dim=64).toPandas()
+    planted = {(2 * i, 2 * i + 1) for i in range(20)}
+    found = {(a, b) for a, b in zip(got.id_a, got.id_b)} & planted
+    assert len(found) >= 16, f"recall {len(found)}/20"
+    # and the verified cosine really is near-dup grade
+    assert (got.cosine >= 0.9).all()
+
+
+def test_srp_candidate_join_is_equi_join(spark):
+    """The SRP candidate join must be a hash/sort-merge EQUI join on
+    the band keys — never a nested-loop product (the all-pairs shape
+    lives only in the brute-force verifier)."""
+    import numpy as np
+
+    from oshdb_spark.operators.similarity import srp_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    plan = (
+        srp_neardup_pairs(df, None, dim=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
