@@ -2613,6 +2613,115 @@ def o_relation_geom_kinds() -> str:
     """
 
 
+def q_relation_route_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo.lengthOf over the GeometryCollection fallback
+    (OSHDBGeometryBuilder.java:121-139 + DefaultTagInterpreter
+    isLine(relation)=type-route): non-area relations don't assemble —
+    their measure is the sum of member-geometry lengths. Engine:
+    type=route relations as-of TILE_TS, member arcs built only for
+    survivors, per-arc equirectangular length as a pure Column HOF
+    fold, one sum per relation. The measure is integer meters
+    (floor(x+0.5)) — segment sum order across arcs is Spark-partial-agg
+    nondeterministic, and integer meters absorb the ulp wobble while
+    staying fully data-dependent."""
+    from oshdb_spark.functions.taginterpreter import relation_is_line_col
+    from oshdb_spark.sources.relations import (
+        derive_relation_members,
+        derive_relations,
+        with_relation_tags,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    asof = derive_relations(ev).transform(_asof_visible)
+    routes = with_relation_tags(asof).filter(
+        relation_is_line_col(F.col("tags"))
+    ).drop("tags")
+    m = derive_relation_members(ev, rels=routes)
+    lon_arr, lat_arr = F.col("lon_arr"), F.col("lat_arr")
+    n = F.size(lon_arr)
+
+    def LO(i):
+        return F.element_at(lon_arr, i + 1).cast("double")
+
+    def LA(i):
+        return F.element_at(lat_arr, i + 1).cast("double")
+
+    def seg_term(j):
+        dlng = F.radians((LO(j + 1) - LO(j)) * 1e-7) * F.cos(
+            F.radians(((LA(j + 1) + LA(j)) * 1e-7) / 2.0)
+        )
+        dlat = F.radians((LA(j + 1) - LA(j)) * 1e-7)
+        return F.lit(6371000.0) * F.sqrt(dlng * dlng + dlat * dlat)
+
+    arc_len = F.aggregate(
+        F.transform(F.sequence(F.lit(0), n - 2), seg_term),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+    return (
+        m.withColumn("_len", arc_len)
+        .groupBy("rel_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_arcs"),
+            F.floor(F.sum("_len") + 0.5).cast("long").alias("route_m"),
+        )
+    )
+
+
+def o_relation_route_length() -> str:
+    from oshdb_spark.sources.relations import (
+        REL_TYPE_MOD,
+        SECOND_SHELL_MOD,
+        SINGLE_OUTER_MOD,
+        relations_sql,
+    )
+
+    def seg(ax, ay, bx, by):
+        dlng = (
+            f"radians((({bx}) - ({ax})) * 1e-7)"
+            f" * cos(radians(((({by}) + ({ay})) * 1e-7) / 2.0))"
+        )
+        dlat = f"radians((({by}) - ({ay})) * 1e-7)"
+        return f"6371000.0 * sqrt(({dlng}) * ({dlng}) + ({dlat}) * ({dlat}))"
+
+    def rect_perimeter(x0, y0, x1, y1):
+        # the same 4 undirected segments the arcs decompose into (the
+        # single-closed-arc and split-arc forms cover identical
+        # segments; only the float sum ORDER differs, absorbed by the
+        # integer-meter output)
+        return " + ".join(
+            [
+                seg(x0, y0, x1, y0),
+                seg(x1, y0, x1, y1),
+                seg(x1, y1, x0, y1),
+                seg(x0, y1, x0, y0),
+            ]
+        )
+
+    ring1 = rect_perimeter("x0", "y0", "x0 + rw", "y0 + rh")
+    inner = rect_perimeter(
+        "x0 + rw // 4", "y0 + rh // 4", "x0 + (rw // 4) * 3", "y0 + (rh // 4) * 3"
+    )
+    shell2 = rect_perimeter("x0 + 2 * rw", "y0", "x0 + 3 * rw", "y0 + rh")
+    n_arcs = (
+        f"(CASE WHEN rel_id % {SINGLE_OUTER_MOD} = 1 THEN 1 ELSE 2 END + 2"
+        f" + CASE WHEN rel_id % {SECOND_SHELL_MOD} = 0 THEN 2 ELSE 0 END)"
+    )
+    return f"""WITH r AS ({relations_sql()}),
+    ao AS (
+      SELECT * FROM r
+      WHERE visible AND {TILE_TS} >= ts AND (valid_to IS NULL OR {TILE_TS} < valid_to)
+        AND rel_id % {REL_TYPE_MOD} = 4
+    )
+    SELECT rel_id,
+           CAST({n_arcs} AS INT) AS n_arcs,
+           CAST(floor(({ring1}) + ({inner})
+                + CASE WHEN rel_id % {SECOND_SHELL_MOD} = 0 THEN ({shell2}) ELSE 0.0 END
+                + 0.5) AS BIGINT) AS route_m
+    FROM ao
+    """
+
+
 def q_way_contrib_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contribution view over way geometries through the SAME
     ``contributions()`` operator as nodes (parameterized entity/geom
@@ -3437,6 +3546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tdigest_quantiles": q_tdigest_quantiles,
     "bbox_region_clipped_area": q_bbox_region_clipped_area,
     "srp_neardup_pairs": q_srp_neardup_pairs,
+    "relation_route_length": q_relation_route_length,
     # -- tail: double-green in r1+r2, stable, oracle-tested locally -----
     "traj_length": q_traj_length,
     "token_stats_by_source": q_token_stats_by_source,
@@ -3518,6 +3628,7 @@ ORACLES: dict[str, str] = {
     "tdigest_quantiles": o_tdigest_quantiles(),
     "bbox_region_clipped_area": o_bbox_region_clipped_area(),
     "srp_neardup_pairs": o_srp_neardup_pairs(),
+    "relation_route_length": o_relation_route_length(),
     "way_kind_measures": o_way_kind_measures(),
     "relation_mod_ts": o_relation_mod_ts(),
     "way_concave_clipped_length": o_way_concave_clipped_length(),
