@@ -2229,13 +2229,17 @@ def q_relation_mp_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from oshdb_spark.sources.relations import (
         derive_relation_members,
+        derive_relations,
         docs_to_relation_members,
         relations_to_docs,
     )
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the version frame feeds BOTH the member fan-out and the meta spans
+    # — localCheckpoint evaluates its window once (CLAUDE.md invariant)
+    rels = derive_relations(ev).localCheckpoint(eager=False)
     m = docs_to_relation_members(
-        relations_to_docs(derive_relation_members(ev))
+        relations_to_docs(derive_relation_members(ev, rels=rels), rels=rels)
     ).transform(_asof_visible)
     mp = assemble_multipolygons(collect_member_arcs(m))
     return mp.select(

@@ -258,7 +258,7 @@ def with_relation_tags(rels: DataFrame) -> DataFrame:
 #   geom span text = "ring:<role>:<lon1>,<lat1>;<lon2>,<lat2>;..."  (one
 #   span per member arc, arc order = arc_idx order within the version)
 
-def relations_to_docs(members: DataFrame) -> DataFrame:
+def relations_to_docs(members: DataFrame, rels: DataFrame | None = None) -> DataFrame:
     """One doc per relation; each version contributes a meta span plus a
     ``ring:`` geom span per member arc — the third entity kind of the
     interleaved-document graft (nodes: ``pt:``, ways: ``line:``).
@@ -272,7 +272,11 @@ def relations_to_docs(members: DataFrame) -> DataFrame:
     lambda expressions — measured ~4.5 s of the sf0.1 relation pipeline;
     this shape leaves only the tiny offset-comparator lambda
     interpreted. Span order is identical: versions ascending, meta
-    before the version's arcs, arcs by (arc_idx, ring_hint, text)."""
+    before the version's arcs, arcs by (arc_idx, ring_hint, text).
+
+    Pass the relation VERSION frame as ``rels`` to source the meta
+    spans directly (one row per version already) — otherwise they are
+    re-derived from the member rows with an extra aggregation."""
     arc_txt = F.concat(
         F.lit("ring:"),
         F.col("role"),
@@ -296,10 +300,15 @@ def relations_to_docs(members: DataFrame) -> DataFrame:
         F.lit("geom").alias("kind"),
         arc_txt.alias("text"),
     )
+    meta_src = (
+        rels
+        if rels is not None
+        else members.groupBy("rel_id", "version").agg(
+            F.first("ts").alias("ts"), F.first("visible").alias("visible")
+        )
+    )
     meta_rows = (
-        members.groupBy("rel_id", "version")
-        .agg(F.first("ts").alias("ts"), F.first("visible").alias("visible"))
-        .select(
+        meta_src.select(
             F.concat(F.lit("r"), F.col("rel_id").cast("string")).alias("doc_id"),
             "version",
             F.lit(0).alias("srt"),
