@@ -141,13 +141,16 @@ def _ring_signed_area_m2(lon_e7: list[int], lat_e7: list[int]) -> float:
 def _batch_ring_areas(
     flat_lon: np.ndarray, flat_lat: np.ndarray, starts: np.ndarray, lens: np.ndarray
 ) -> np.ndarray:
-    """|C–D area| of many variable-length closed rings in ONE numpy
-    pass: rings are concatenated into flat e7 coordinate arrays with
-    per-ring (start, len) segments. The per-segment rolled indices are
-    computed vectorized, and ``np.add.reduceat`` accumulates each
-    ring's terms strictly left-to-right — bit-identical to the scalar
-    ``_ring_signed_area_m2`` loop (reduceat applies the ufunc
-    sequentially within each slice, and ``0.0 + t0 == t0`` exactly)."""
+    """|C–D area| of many variable-length closed rings with the term
+    math in ONE numpy pass: rings are concatenated into flat e7
+    coordinate arrays with per-ring (start, len) segments, and the
+    rolled radians/sin/product terms — the expensive part — are fully
+    vectorized. Only the per-ring SUM runs as a plain sequential float
+    loop: the SQL oracles expand the sum symbolically left-to-right,
+    and neither ``np.add.reduceat`` nor ``np.sum`` honors that order
+    (pairwise reduction — a 1-ulp divergence the property test
+    caught), while Python float adds are exactly the scalar
+    ``_ring_signed_area_m2`` accumulation."""
     if len(starts) == 0:
         return np.empty(0, dtype=np.float64)
     x = np.radians(flat_lon.astype(np.float64) * 1e-7)
@@ -157,9 +160,18 @@ def _batch_ring_areas(
     p = np.arange(len(x), dtype=np.int64) - starts_rep
     i2 = starts_rep + (p + 2) % lens_rep
     i1 = starts_rep + (p + 1) % lens_rep
-    terms = (x[i2] - x) * np.sin(y[i1])
-    sums = np.add.reduceat(terms, starts)
-    return np.abs(sums * (EARTH_RADIUS * EARTH_RADIUS / 2.0))
+    terms = ((x[i2] - x) * np.sin(y[i1])).tolist()
+    out = np.empty(len(starts), dtype=np.float64)
+    pos = 0
+    for k, n in enumerate(lens.tolist()):
+        acc = 0.0
+        for j in range(pos, pos + n):
+            acc += terms[j]
+        pos += n
+        # op order matters: ((sum * R) * R) / 2, exactly like the
+        # scalar form and the SQL oracles' symbolic expansion
+        out[k] = abs(acc * EARTH_RADIUS * EARTH_RADIUS / 2.0)
+    return out
 
 
 def _point_in_ring(lon: list[int], lat: list[int], px: int, py: int) -> bool:

@@ -158,3 +158,111 @@ def test_ring_clip_of_contained_square_is_identity(cx, cy, half):
     assert len(ox) == 4
     np.testing.assert_allclose(sorted(ox), sorted(sq_x), rtol=1e-12)
     np.testing.assert_allclose(sorted(oy), sorted(sq_y), rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# round-3 kernels: t-digest, ring chaining, batched ring areas
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1,
+        max_size=400,
+    ),
+    st.integers(min_value=10, max_value=200),
+)
+@settings(max_examples=80, deadline=None)
+def test_tdigest_invariants(values, delta):
+    """Weight conservation, mean-range containment, sorted centroids,
+    and quantile monotonicity hold for ANY input."""
+    from oshdb_spark.operators.tdigest import digest_quantiles, merge_centroids
+
+    v = np.asarray(values, dtype=np.float64)
+    m, w = merge_centroids(v, np.ones_like(v), float(delta))
+    assert w.sum() == np.testing.assert_allclose(w.sum(), len(v)) or True
+    np.testing.assert_allclose(w.sum(), len(v))
+    assert m.min() >= v.min() - 1e-9 and m.max() <= v.max() + 1e-9
+    assert (np.diff(m) >= 0).all()
+    qs = digest_quantiles(m, w, [0.1, 0.5, 0.9])
+    assert qs[0] <= qs[1] <= qs[2]
+    assert v.min() - 1e-9 <= qs[0] and qs[2] <= v.max() + 1e-9
+
+
+@given(
+    st.integers(min_value=3, max_value=10),
+    st.integers(min_value=2, max_value=5),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_chain_rings_conserves_vertices_any_cut(n, k, rnd):
+    """Cutting any simple polygon into k arcs (random cut points,
+    random reversals, shuffled order, junk arc_ord) always re-chains to
+    ONE closed ring with the original vertex count."""
+    from oshdb_spark.operators.relations import _chain_rings
+
+    ang = np.sort(np.array([rnd.uniform(0, 2 * np.pi) for _ in range(n)]))
+    if len(set(ang)) < n:
+        return
+    x = (3e6 * np.cos(ang)).astype(np.int64)
+    y = (3e6 * np.sin(ang)).astype(np.int64)
+    ring = list(zip(x.tolist(), y.tolist()))
+    if len(set(ring)) < n:
+        return
+    ring = ring + [ring[0]]
+    k = min(k, n - 1)
+    cuts = sorted(rnd.sample(range(1, n), k - 1)) if k > 1 else []
+    bounds = [0] + cuts + [n]
+    arcs = []
+    for i in range(len(bounds) - 1):
+        pts = ring[bounds[i]: bounds[i + 1] + 1]
+        if rnd.random() < 0.5:
+            pts = pts[::-1]
+        arcs.append(
+            {
+                "role": rnd.choice(["outer", "inner", ""]),
+                "arc_ord": rnd.randrange(100),
+                "lon_arr": [p[0] for p in pts],
+                "lat_arr": [p[1] for p in pts],
+            }
+        )
+    rnd.shuffle(arcs)
+    rings, closed = _chain_rings(arcs)
+    assert closed and len(rings) == 1
+    assert len(rings[0]["lon"]) == n + 1
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-10**9, max_value=10**9),
+                st.integers(min_value=-8 * 10**8, max_value=8 * 10**8),
+            ),
+            min_size=3,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_batched_ring_areas_match_scalar(rings):
+    """The ragged reduceat batch equals the scalar left-to-right loop
+    bit-for-bit for ANY ring set (the parity property every area oracle
+    relies on)."""
+    from oshdb_spark.operators.relations import (
+        _batch_ring_areas,
+        _ring_signed_area_m2,
+    )
+
+    closed = [r + [r[0]] for r in rings]
+    lon = [np.array([p[0] for p in r], dtype=np.int64) for r in closed]
+    lat = [np.array([p[1] for p in r], dtype=np.int64) for r in closed]
+    lens = np.array([len(v) for v in lon], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    got = _batch_ring_areas(
+        np.concatenate(lon), np.concatenate(lat), starts, lens
+    )
+    for i, r in enumerate(closed):
+        want = abs(_ring_signed_area_m2([p[0] for p in r], [p[1] for p in r]))
+        assert got[i] == want, i
