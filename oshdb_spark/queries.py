@@ -2502,6 +2502,98 @@ def o_relation_contrib_counts() -> str:
     """
 
 
+def q_relation_contributors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contributor ATTRIBUTION with child recursion
+    (``OSMContribution.getContributorUserId``,
+    ``OSMContribution.java:211-257``): a contribution whose instant
+    coincides with one of the relation's own version timestamps is
+    attributed to the relation version's editor; a member-induced
+    instant (geometry-only change) is attributed to the FIRST member in
+    member order whose as-of version timestamp equals the instant —
+    the reference's ``getMemberEntities(ts).filter(ts ==
+    contributionTs).findFirst()`` walk, re-expressed as one equi-join
+    on way_id plus a row_number pick over the member ordinal (the
+    ordinal tie-break is deterministic on both engines; the reference
+    never hits it because real version timestamps are strictly ordered
+    per entity). Output is per relation: contribution count, distinct
+    contributors, and the attributed-uid SUM — an integer surface that
+    fails if any single attribution picks the wrong editor."""
+    from oshdb_spark.sources.relations import derive_relations, member_way_ids_col
+    from oshdb_spark.sources.ways import WAY_MOD, derive_ways
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rels = derive_relations(ev)
+    own = rels.select("rel_id", "ts", F.col("uid").alias("contrib_uid"))
+    first = rels.groupBy("rel_id").agg(F.min("ts").alias("first_ts"))
+    members = first.select(
+        "rel_id",
+        "first_ts",
+        F.posexplode(member_way_ids_col(WAY_MOD)).alias("m_ord", "way_id"),
+    )
+    way_v = derive_ways(ev).select("way_id", "ts", "uid")
+    child = (
+        members.join(way_v, "way_id")
+        .filter(F.col("ts") >= F.col("first_ts"))
+        # own instants win (the entity-timestamp check at
+        # OSMContribution.java:217-221)
+        .join(rels.select("rel_id", "ts"), ["rel_id", "ts"], "left_anti")
+    )
+    w = Window.partitionBy("rel_id", "ts").orderBy("m_ord", "way_id", "uid")
+    attr = (
+        child.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("rel_id", "ts", F.col("uid").alias("contrib_uid"))
+    )
+    return (
+        own.unionByName(attr)
+        .groupBy("rel_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_contribs"),
+            F.count_distinct("contrib_uid").alias("n_contributors"),
+            F.sum("contrib_uid").cast("long").alias("uid_sum"),
+        )
+    )
+
+
+def o_relation_contributors() -> str:
+    from oshdb_spark.sources.relations import member_way_ids_sql, relations_sql
+    from oshdb_spark.sources.ways import WAY_MOD, ways_sql
+
+    formulas = ", ".join(member_way_ids_sql(WAY_MOD))
+    ordinals = ", ".join(str(i) for i in range(len(member_way_ids_sql(WAY_MOD))))
+    return f"""WITH r AS ({relations_sql()}), wy AS ({ways_sql()}),
+    firstv AS (SELECT rel_id, min(ts) AS first_ts FROM r GROUP BY 1),
+    mem AS (
+      SELECT f.rel_id, f.first_ts, u.m_ord, u.way_id
+      FROM firstv f, LATERAL (
+        SELECT unnest([{ordinals}]) AS m_ord, unnest([{formulas}]) AS way_id
+      ) u
+    ),
+    child AS (
+      SELECT m.rel_id, w.ts, w.uid, m.m_ord, m.way_id
+      FROM mem m JOIN wy w ON w.way_id = m.way_id
+      WHERE w.ts >= m.first_ts
+        AND NOT EXISTS (SELECT 1 FROM r WHERE r.rel_id = m.rel_id AND r.ts = w.ts)
+    ),
+    attr AS (
+      SELECT rel_id, ts, uid AS contrib_uid FROM (
+        SELECT rel_id, ts, uid,
+               row_number() OVER (PARTITION BY rel_id, ts
+                                  ORDER BY m_ord, way_id, uid) AS rn
+        FROM child) WHERE rn = 1
+    ),
+    allc AS (
+      SELECT rel_id, uid AS contrib_uid FROM r
+      UNION ALL SELECT rel_id, contrib_uid FROM attr
+    )
+    SELECT rel_id,
+           CAST(count(*) AS BIGINT) AS n_contribs,
+           CAST(count(DISTINCT contrib_uid) AS BIGINT) AS n_contributors,
+           CAST(sum(contrib_uid) AS BIGINT) AS uid_sum
+    FROM allc GROUP BY rel_id
+    """
+
+
 def q_relation_geom_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relation geometry DISPATCH + old-style multipolygons
     (OSHDBGeometryBuilder.java:121-139 + BaseTagInterpreter.java:106-135):
@@ -3510,6 +3602,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_per_segment": q_top_orders_per_segment,
     "approx_quantiles": q_approx_quantiles,
     "ivf_ann_top5": q_ivf_ann_top5,
+    "relation_contributors": q_relation_contributors,
     # -- 50-window: core catalog ----------------------------------------
     "snapshot_count_by_ts": q_snapshot_count_by_ts,
     "snapshot_bbox_count_by_ts": q_snapshot_bbox_count_by_ts,
@@ -3523,7 +3616,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_by_region": q_agg_by_region,
     "agg_by_polygon_region": q_agg_by_polygon_region,
     "region_poly_clipped_length": q_region_poly_clipped_length,
-    "lang_pred_counts": q_lang_pred_counts,
     "ann_cosine_top5": q_ann_cosine_top5,
     "reducer_suite_by_ts": q_reducer_suite_by_ts,
     "uniq_users_by_building": q_uniq_users_by_building,
@@ -3552,6 +3644,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "srp_neardup_pairs": q_srp_neardup_pairs,
     "relation_route_length": q_relation_route_length,
     # -- tail: double-green in r1+r2, stable, oracle-tested locally -----
+    "lang_pred_counts": q_lang_pred_counts,
     "traj_length": q_traj_length,
     "token_stats_by_source": q_token_stats_by_source,
     "dedup_exact": q_dedup_exact,
@@ -3637,6 +3730,7 @@ ORACLES: dict[str, str] = {
     "relation_mod_ts": o_relation_mod_ts(),
     "way_concave_clipped_length": o_way_concave_clipped_length(),
     "relation_contrib_counts": o_relation_contrib_counts(),
+    "relation_contributors": o_relation_contributors(),
     "pricing_summary": o_pricing_summary(),
     "revenue_by_nation": o_revenue_by_nation(),
     "top_orders_per_segment": o_top_orders_per_segment(),

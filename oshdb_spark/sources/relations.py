@@ -146,6 +146,9 @@ def derive_relations(ev: DataFrame, rel_mod: int = REL_MOD) -> DataFrame:
         .cast("long")
         .alias("ts"),
         ((eid % 7) != 0).alias("visible"),
+        # editor of this version (contributor attribution,
+        # OSMContribution.java:211-221) — same uid model as versions.py
+        (F.col("user_id") % 50).cast("int").alias("uid"),
     )
     w = Window.partitionBy("rel_id").orderBy("ts", "event_id")
     return base.withColumn("version", F.row_number().over(w)).withColumn(
@@ -435,6 +438,7 @@ def relations_sql(rel_mod: int = REL_MOD) -> str:
            CAST(floor(epoch(ts)) AS BIGINT) AS ts,
            lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER win AS valid_to,
            (event_id % 7) <> 0 AS visible,
+           CAST(user_id % 50 AS INT) AS uid,
            (event_id % {rel_mod}) * {LON_A} % {LON_SPAN} - {LON_OFF} AS x0,
            (event_id % {rel_mod}) * {LAT_A} % {LAT_SPAN} - {LAT_OFF} AS y0,
            {W_BASE} + (row_number() OVER win % 5) * {W_STEP} AS rw,

@@ -53,6 +53,9 @@ def derive_ways(ev: DataFrame, way_mod: int = WAY_MOD) -> DataFrame:
         .cast("long")
         .alias("ts"),
         ((eid % 7) != 0).alias("visible"),
+        # editor of this version (contributor attribution through the
+        # member chain, OSMContribution.java:223-256)
+        (F.col("user_id") % 50).cast("int").alias("uid"),
     )
     w = Window.partitionBy("way_id").orderBy("ts", "event_id")
     v = base.withColumn("version", F.row_number().over(w)).withColumn(
@@ -69,6 +72,7 @@ def derive_ways(ev: DataFrame, way_mod: int = WAY_MOD) -> DataFrame:
         "ts",
         "valid_to",
         "visible",
+        "uid",
         F.transform(idx, lambda j: base_lon + j.cast("long") * delta).alias("lon_arr"),
         F.transform(
             idx, lambda j: base_lat + j.cast("long") * j.cast("long") * LAT_CURVE + wiggle
@@ -150,6 +154,7 @@ def ways_sql(way_mod: int = WAY_MOD) -> str:
            CAST(floor(epoch(ts)) AS BIGINT) AS ts,
            lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER win AS valid_to,
            (event_id % 7) <> 0 AS visible,
+           CAST(user_id % 50 AS INT) AS uid,
            (event_id % {way_mod}) * {LON_A} % {LON_SPAN} - {LON_OFF} AS base_lon,
            (event_id % {way_mod}) * {LAT_A} % {LAT_SPAN} - {LAT_OFF} AS base_lat,
            {DELTA_BASE} + (row_number() OVER win % 50) * {DELTA_STEP} AS delta,
