@@ -230,7 +230,17 @@ def jaccard_similarity_join(
         ),
     )
     prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1
-    prefix = ranked.filter(F.col("rank") <= prefix_len).select("id", "w")
+    # the prefix frame feeds BOTH sides of the candidate self-join;
+    # without a checkpoint the explode + document-frequency join + rank
+    # window runs twice (the shared-subtree self-join trap — measured
+    # ~30% of the sf0.1 query). The materialized frame is small by
+    # construction: one row per (doc, prefix token), prefix length
+    # (1-t)|A|+1.
+    prefix = (
+        ranked.filter(F.col("rank") <= prefix_len)
+        .select("id", "w")
+        .localCheckpoint(eager=False)
+    )
 
     cand = (
         prefix.alias("pa")
