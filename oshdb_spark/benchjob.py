@@ -41,6 +41,75 @@ def replicated_events(spark: SparkSession, sf_dir: str, replicas: int) -> DataFr
     ).drop("rep")
 
 
+def replicated_documents(
+    spark: SparkSession, sf_dir: str, replicas: int
+) -> DataFrame:
+    """Deterministically replicate the documents table for the dedup
+    scaling job. Replica k shifts doc_id by k * 10^7 AND salts every
+    word with the replica ordinal, so cross-replica texts share no
+    shingles: near-dup candidates stay within a replica and the pair
+    count grows LINEARLY with replicas (identical replica text would
+    put every copy of a doc in one LSH bucket — a quadratic candidate
+    blow-up that no real corpus has)."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # the catalog gate's 1-in-5 subset: the full synthetic corpus
+        # carries ~4x denser near-dup clusters, and pair output grows
+        # quadratically within a cluster — the subset keeps the job's
+        # work linear in corpus size like a real deduplicated crawl
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism * 2)
+    rep = F.explode(F.array(*[F.lit(i) for i in range(replicas)])).alias("rep")
+    docs = docs.select("*", rep)
+    return docs.select(
+        (F.col("doc_id") + F.col("rep").cast("long") * 10_000_000).alias("doc_id"),
+        F.regexp_replace(
+            F.col("text"),
+            F.lit(r"(\S+)"),
+            F.concat(F.col("rep").cast("string"), F.lit("_$1")),
+        ).alias("text"),
+    )
+
+
+def dedup_scale_job(spark: SparkSession, sf_dir: str, replicas: int = 24) -> int:
+    """The LLM-pipeline counterpart of ``scale_job``: tokenize ->
+    global token document frequencies -> prefix selection (rank
+    window) -> candidate equi-join on prefix tokens -> exact word-set
+    Jaccard verify (the Vernica prefix-filter dedup pipeline). Returns
+    verified near-dup pairs + docs scanned (the throughput numerator).
+
+    Deliberately the PURE-JVM dedup path, not the MinHash Arrow
+    kernel: an Arrow UDF stage runs in a separate Python process that
+    overlaps with the JVM's serializer thread, so a "1-core" executor
+    really occupies ~2 CPUs during UDF stages — measured here as a
+    fake ~0.39 scaling efficiency for a pipeline whose plan is
+    embarrassingly parallel. The prefix join exercises the same
+    shuffle/join/window mix (and the catalog's minhash_neardup gate
+    still covers the Arrow path for correctness + single-size perf)."""
+    from oshdb_spark.operators.dedup import jaccard_similarity_join
+
+    # evaluate the replication + word-salt once (a real corpus is a
+    # stored table, not a recomputed view)
+    docs = (
+        replicated_documents(spark, sf_dir, replicas)
+        .select(
+            "doc_id",
+            F.array_distinct(F.split(F.col("text"), " ")).alias("words"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # 0.95 like the catalog gate: the synthetic corpus is dense with
+    # ~0.8-similar doc pairs, so a lower threshold turns the candidate
+    # set quadratic (measured 3M pairs per 5k-doc replica at 0.8 vs
+    # ~10 per doc at 0.95) — no real dedup runs at 0.8 on raw text
+    pairs = jaccard_similarity_join(docs, threshold=0.95)
+    n_docs = docs.count()
+    n_pairs = pairs.count()
+    return n_pairs + n_docs
+
+
 def scale_job(spark: SparkSession, sf_dir: str, replicas: int = 16) -> int:
     """Returns the number of output rows (tiles + snapshot rows) —
     the 'tiles + join-output rows' throughput numerator."""

@@ -126,3 +126,45 @@ def contributions(
         .filter(F.col("contrib_type").isNotNull())
         .drop("_match", *[f"_prev_{c}" for c in diff_cols])
     )
+
+
+def attribute_contributors(
+    own: DataFrame, child: DataFrame, entity_col: str = "entity_id"
+) -> DataFrame:
+    """Contributor attribution with child recursion
+    (``OSMContribution.getContributorUserId``,
+    ``OSMContribution.java:211-257``): the contribution stream of an
+    entity whose children can change its geometry.
+
+    ``own``: (entity_col, ts, uid) — the entity's OWN version instants
+    with their editors. ``child``: (entity_col, ts, uid, member_ord) —
+    child-version instants inside the entity's lifetime, one row per
+    (member slot, child version). Returns (entity_col, ts, contrib_uid):
+
+    * an instant that coincides with an own version is the entity
+      editor's (the entity-timestamp check at
+      ``OSMContribution.java:217-221``) — child rows at that instant
+      are dropped;
+    * a child-induced instant is attributed to the FIRST member in
+      member order with a version at exactly that instant — the
+      reference's ``getMemberEntities(ts).filter(ts ==
+      contributionTs).findFirst()`` walk as a row_number pick over
+      ``member_ord`` (ties broken by uid for cross-engine determinism;
+      unreachable in the reference, where version timestamps are
+      strictly ordered per entity).
+
+    Scale shape: one left_anti hash join on (entity, ts) + one window
+    over (entity, ts) groups that are at most members-per-entity wide.
+    """
+    keyed = child.join(
+        own.select(entity_col, "ts"), [entity_col, "ts"], "left_anti"
+    )
+    w = Window.partitionBy(entity_col, "ts").orderBy("member_ord", "uid")
+    attr = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(entity_col, "ts", F.col("uid").alias("contrib_uid"))
+    )
+    return own.select(
+        entity_col, "ts", F.col("uid").alias("contrib_uid")
+    ).unionByName(attr)

@@ -170,20 +170,28 @@ def minhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 def jaccard_verify(
     docs: DataFrame, pairs: DataFrame, threshold: float = 0.7,
     id_col: str = "doc_id", text_col: str = "text",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Exact word-3-gram Jaccard on candidate pairs only (never O(n^2));
     keeps pairs with similarity >= threshold. Pure JVM: shingle-hash
     sets built by ``shingle_hashes_col``, intersected with
-    ``array_intersect`` — zero Python in the verify path."""
+    ``array_intersect`` — zero Python in the verify path.
+
+    ``broadcast=True`` ships the whole shingle table to every task —
+    right when the doc set is small (the gate fixtures). At corpus
+    scale the shingle table exceeds any broadcast budget AND its
+    driver-side build is serial; pass ``broadcast=False`` for plain
+    shuffle hash joins on the id keys (the 100 TB shape)."""
     d = docs.select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingle_hashes_col(F.col(text_col))).alias("hs"),
     )
+    side = F.broadcast(d) if broadcast else d
     inter = F.size(F.array_intersect(F.col("da.hs"), F.col("db.hs")))
     union = F.size(F.col("da.hs")) + F.size(F.col("db.hs")) - inter
     joined = (
-        pairs.join(F.broadcast(d).alias("da"), pairs["id_a"] == F.col("da.id"))
-        .join(F.broadcast(d).alias("db"), pairs["id_b"] == F.col("db.id"))
+        pairs.join(side.alias("da"), pairs["id_a"] == F.col("da.id"))
+        .join(side.alias("db"), pairs["id_b"] == F.col("db.id"))
         .select(
             "id_a",
             "id_b",

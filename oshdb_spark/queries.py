@@ -2518,34 +2518,27 @@ def q_relation_contributors(spark: SparkSession, sf_dir: str) -> DataFrame:
     per entity). Output is per relation: contribution count, distinct
     contributors, and the attributed-uid SUM — an integer surface that
     fails if any single attribution picks the wrong editor."""
+    from oshdb_spark.operators.contribution import attribute_contributors
     from oshdb_spark.sources.relations import derive_relations, member_way_ids_col
     from oshdb_spark.sources.ways import WAY_MOD, derive_ways
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     rels = derive_relations(ev)
-    own = rels.select("rel_id", "ts", F.col("uid").alias("contrib_uid"))
+    own = rels.select("rel_id", "ts", "uid")
     first = rels.groupBy("rel_id").agg(F.min("ts").alias("first_ts"))
     members = first.select(
         "rel_id",
         "first_ts",
-        F.posexplode(member_way_ids_col(WAY_MOD)).alias("m_ord", "way_id"),
+        F.posexplode(member_way_ids_col(WAY_MOD)).alias("member_ord", "way_id"),
     )
     way_v = derive_ways(ev).select("way_id", "ts", "uid")
     child = (
         members.join(way_v, "way_id")
         .filter(F.col("ts") >= F.col("first_ts"))
-        # own instants win (the entity-timestamp check at
-        # OSMContribution.java:217-221)
-        .join(rels.select("rel_id", "ts"), ["rel_id", "ts"], "left_anti")
-    )
-    w = Window.partitionBy("rel_id", "ts").orderBy("m_ord", "way_id", "uid")
-    attr = (
-        child.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("rel_id", "ts", F.col("uid").alias("contrib_uid"))
+        .select("rel_id", "ts", "uid", "member_ord")
     )
     return (
-        own.unionByName(attr)
+        attribute_contributors(own, child, entity_col="rel_id")
         .groupBy("rel_id")
         .agg(
             F.count(F.lit(1)).alias("n_contribs"),

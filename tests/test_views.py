@@ -164,3 +164,29 @@ def test_way_contributions_via_unified_operator(spark, sf_dir):
     }
     assert got == expected
     assert "GEOMETRY_CHANGE" in got and "TAG_CHANGE" not in got
+
+
+def test_attribute_contributors_child_recursion(spark):
+    """getContributorUserId semantics (OSMContribution.java:211-257):
+    own instants attribute to the entity's editor even when a child
+    also changed at the same instant; child-induced instants attribute
+    to the FIRST member in member order with a version at that instant."""
+    from oshdb_spark.operators.contribution import attribute_contributors
+
+    own = spark.createDataFrame(
+        [(1, 100, 7), (1, 300, 8)], "entity_id long, ts long, uid int"
+    )
+    child = spark.createDataFrame(
+        [
+            (1, 100, 9, 0),  # coincides with an own instant: dropped
+            (1, 200, 5, 1),  # member slot 1...
+            (1, 200, 3, 2),  # ...beats slot 2 at the same instant
+            (1, 400, 4, 2),  # plain child-induced instant
+        ],
+        "entity_id long, ts long, uid int, member_ord int",
+    )
+    out = {
+        r.ts: r.contrib_uid
+        for r in attribute_contributors(own, child).collect()
+    }
+    assert out == {100: 7, 200: 5, 300: 8, 400: 4}
