@@ -2370,6 +2370,216 @@ def _relation_member_instants(spark: SparkSession, sf_dir: str):
     return rels, child
 
 
+REL_SLOT_MOD = 3  # slot s of relation r is a member in version v iff
+#                   (r + v + s) % 3 != 0 — membership that CHANGES
+#                   across versions (the interval-validity fixture)
+
+
+def q_relation_member_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member-reference INTERVAL VALIDITY
+    (``OSHEntities.java:395-478``): when a relation's member list
+    changes across versions, a member way's own changes count as
+    relation modifications only while the way IS a member — each
+    visible version with the slot present contributes the validity
+    interval [version.ts, next version.ts] (closed upper bound: the
+    reference's ``current <= toTs`` walk counts a child change landing
+    exactly on the next version's timestamp; the newest version's
+    interval is open-ended). Invisible versions contribute no
+    intervals, and own instants are the visible version timestamps
+    plus the visible->invisible transition instant (the prevNonmatch
+    trick, ``OSHEntities.java:287-303/402-410``).
+
+    The Spark side resolves each way instant AGAINST the relation's
+    version timeline with one as-of window per (relation, slot) —
+    the scalable member range-join shape (SURVEY §2.7) — qualifying
+    the instant through its as-of version (or, on an exact boundary,
+    the predecessor version, which is the closed-bound rule restated).
+    The oracle derives the same answer from the naive per-version
+    interval join — a genuinely different algorithm, so the gate
+    checks the semantics, not the plan. ``n_windowed_out`` counts the
+    instants the membership windowing excludes versus always-member
+    semantics — nonzero by construction, so a vacuously-permissive
+    window fails the hash."""
+    from oshdb_spark.sources.relations import derive_relations, member_way_ids_col
+    from oshdb_spark.sources.ways import WAY_MOD, derive_ways
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rels = derive_relations(ev)
+    wv = Window.partitionBy("rel_id").orderBy("version")
+    own = (
+        rels.withColumn("pv", F.lag("visible").over(wv))
+        .filter(F.col("visible") | F.coalesce(F.col("pv"), F.lit(False)))
+        .select("rel_id", "ts")
+    )
+
+    # version timeline per (relation, member slot), with the slot's
+    # activity in this version and in the previous one (the closed
+    # upper bound consults the predecessor at exact boundaries)
+    vers = rels.select(
+        "rel_id",
+        "version",
+        "ts",
+        "visible",
+        F.posexplode(member_way_ids_col(WAY_MOD)).alias("m_ord", "way_id"),
+    ).withColumn(
+        "active",
+        F.col("visible")
+        & ((F.col("rel_id") + F.col("version") + F.col("m_ord")) % REL_SLOT_MOD != 0),
+    )
+    # collapse same-timestamp versions into one timeline group: every
+    # non-final version of a group owns a zero-length closed interval
+    # [t, t], so the group's effective state is ANY(active)/ANY(visible),
+    # and the closed upper bound at the group's instant consults the
+    # LAST version of the previous group (the one whose valid_to == t).
+    # Grouping also makes ts unique per partition, so the as-of window
+    # below is deterministic even with duplicate version timestamps.
+    grp = vers.groupBy("rel_id", "m_ord", "ts").agg(
+        F.max(F.struct("version", "active", "visible")).alias("_last"),
+        F.max("active").alias("any_active"),
+        F.max("visible").alias("any_visible"),
+    )
+    wg = Window.partitionBy("rel_id", "m_ord").orderBy("ts")
+    grp = grp.select(
+        "rel_id",
+        "m_ord",
+        "ts",
+        "any_active",
+        "any_visible",
+        F.col("_last.active").alias("last_active"),
+        F.col("_last.visible").alias("last_visible"),
+        F.coalesce(F.lag("_last.active").over(wg), F.lit(False)).alias("prev_active"),
+        F.coalesce(F.lag("_last.visible").over(wg), F.lit(False)).alias(
+            "prev_visible"
+        ),
+    )
+
+    # probe rows: every version instant of every (relation, slot)'s way
+    slots = vers.select("rel_id", "m_ord", "way_id").distinct()
+    way_ts = derive_ways(ev).select("way_id", F.col("ts").alias("w_ts"))
+    probes = slots.join(way_ts, "way_id")
+
+    # as-of merge: union group rows (src=0) and probe rows (src=1),
+    # sort by (ts, src) so a boundary probe resolves to the NEW group,
+    # and carry the last group state forward
+    state = F.struct(
+        "ts", "any_visible", "any_active", "last_visible", "last_active",
+        "prev_visible", "prev_active",
+    )
+    u = grp.select(
+        "rel_id", "m_ord", F.col("ts").alias("o_ts"), F.lit(0).alias("src"),
+        state.alias("st"),
+    ).unionByName(
+        probes.select(
+            "rel_id", "m_ord", F.col("w_ts").alias("o_ts"), F.lit(1).alias("src"),
+            F.lit(None).cast(
+                "struct<ts:long,any_visible:boolean,any_active:boolean,"
+                "last_visible:boolean,last_active:boolean,"
+                "prev_visible:boolean,prev_active:boolean>"
+            ).alias("st"),
+        )
+    )
+    wa = (
+        Window.partitionBy("rel_id", "m_ord")
+        .orderBy("o_ts", "src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    resolved = (
+        u.withColumn("asof", F.last("st", ignorenulls=True).over(wa))
+        .filter(F.col("src") == 1)
+        .filter(F.col("asof").isNotNull())
+    )
+    boundary = F.col("o_ts") == F.col("asof.ts")
+    # at the group instant, every same-ts version's closed interval plus
+    # the previous group's last version ([.., t] closed) cover the probe;
+    # strictly inside the group's span only the group's LAST version does
+    qual_active = F.when(
+        boundary, F.col("asof.any_active") | F.col("asof.prev_active")
+    ).otherwise(F.col("asof.last_active"))
+    qual_member = F.when(
+        boundary, F.col("asof.any_visible") | F.col("asof.prev_visible")
+    ).otherwise(F.col("asof.last_visible"))
+    inst = resolved.select(
+        "rel_id", F.col("o_ts").alias("ts"), qual_active.alias("qa"),
+        qual_member.alias("qm"),
+    )
+    per_ts = inst.groupBy("rel_id", "ts").agg(
+        F.max("qa").alias("qa"), F.max("qm").alias("qm")
+    )
+    qual = per_ts.filter("qa").select("rel_id", "ts")
+    counts = per_ts.groupBy("rel_id").agg(
+        F.sum(F.col("qa").cast("long")).alias("n_child_in_window"),
+        F.sum((F.col("qm") & ~F.col("qa")).cast("long")).alias("n_windowed_out"),
+    )
+    n_mod = (
+        own.unionByName(qual)
+        .groupBy("rel_id")
+        .agg(F.count_distinct("ts").alias("n_mod_ts"))
+    )
+    return n_mod.join(counts, "rel_id", "left").select(
+        "rel_id",
+        "n_mod_ts",
+        F.coalesce("n_child_in_window", F.lit(0)).alias("n_child_in_window"),
+        F.coalesce("n_windowed_out", F.lit(0)).alias("n_windowed_out"),
+    )
+
+
+def o_relation_member_windows() -> str:
+    from oshdb_spark.sources.relations import member_way_ids_sql, relations_sql
+    from oshdb_spark.sources.ways import WAY_MOD, ways_sql
+
+    formulas = ", ".join(member_way_ids_sql(WAY_MOD))
+    ordinals = ", ".join(str(i) for i in range(len(member_way_ids_sql(WAY_MOD))))
+    return f"""WITH r AS ({relations_sql()}), wy AS ({ways_sql()}),
+    own AS (
+      SELECT rel_id, ts FROM (
+        SELECT rel_id, ts, visible, lag(visible) OVER win AS pv
+        FROM r WINDOW win AS (PARTITION BY rel_id ORDER BY version))
+      WHERE visible OR coalesce(pv, FALSE)
+    ),
+    refs AS (
+      SELECT rel_id, version, ts, valid_to, visible, u.m_ord, u.way_id
+      FROM r, LATERAL (
+        SELECT unnest([{ordinals}]) AS m_ord, unnest([{formulas}]) AS way_id
+      ) u
+    ),
+    -- per-version validity interval [ts, valid_to] (closed upper
+    -- bound; NULL valid_to = open-ended); visible versions only
+    joined AS (
+      SELECT a.rel_id, a.m_ord, w.ts,
+             bool_or(a.visible AND
+                     (a.rel_id + a.version + a.m_ord) % {REL_SLOT_MOD} <> 0)
+               AS qa,
+             bool_or(a.visible) AS qm
+      FROM refs a JOIN wy w ON w.way_id = a.way_id
+      WHERE w.ts >= a.ts AND (a.valid_to IS NULL OR w.ts <= a.valid_to)
+      GROUP BY 1, 2, 3
+    ),
+    per_ts AS (
+      SELECT rel_id, ts, bool_or(qa) AS qa, bool_or(qm) AS qm
+      FROM joined GROUP BY 1, 2
+    ),
+    counts AS (
+      SELECT rel_id,
+             CAST(sum(CASE WHEN qa THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_child_in_window,
+             CAST(sum(CASE WHEN qm AND NOT qa THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_windowed_out
+      FROM per_ts GROUP BY 1
+    ),
+    modts AS (
+      SELECT rel_id, CAST(count(DISTINCT ts) AS BIGINT) AS n_mod_ts FROM (
+        SELECT rel_id, ts FROM own
+        UNION ALL
+        SELECT rel_id, ts FROM per_ts WHERE qa
+      ) GROUP BY 1
+    )
+    SELECT m.rel_id, m.n_mod_ts,
+           coalesce(c.n_child_in_window, 0) AS n_child_in_window,
+           coalesce(c.n_windowed_out, 0) AS n_windowed_out
+    FROM modts m LEFT JOIN counts c ON c.rel_id = m.rel_id
+    """
+
+
 def q_relation_mod_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """getModificationTimestamps with child-induced changes
     (OSHEntities.java:315-478): a relation's modification instants are
@@ -3596,6 +3806,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_quantiles": q_approx_quantiles,
     "ivf_ann_top5": q_ivf_ann_top5,
     "relation_contributors": q_relation_contributors,
+    "relation_member_windows": q_relation_member_windows,
     # -- 50-window: core catalog ----------------------------------------
     "snapshot_count_by_ts": q_snapshot_count_by_ts,
     "snapshot_bbox_count_by_ts": q_snapshot_bbox_count_by_ts,
@@ -3611,7 +3822,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_poly_clipped_length": q_region_poly_clipped_length,
     "ann_cosine_top5": q_ann_cosine_top5,
     "reducer_suite_by_ts": q_reducer_suite_by_ts,
-    "uniq_users_by_building": q_uniq_users_by_building,
     "group_by_entity_hist": q_group_by_entity_hist,
     "contrib_by_interval_type": q_contrib_by_interval_type,
     "tag_regex_counts": q_tag_regex_counts,
@@ -3637,6 +3847,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "srp_neardup_pairs": q_srp_neardup_pairs,
     "relation_route_length": q_relation_route_length,
     # -- tail: double-green in r1+r2, stable, oracle-tested locally -----
+    "uniq_users_by_building": q_uniq_users_by_building,
     "lang_pred_counts": q_lang_pred_counts,
     "traj_length": q_traj_length,
     "token_stats_by_source": q_token_stats_by_source,
@@ -3724,6 +3935,7 @@ ORACLES: dict[str, str] = {
     "way_concave_clipped_length": o_way_concave_clipped_length(),
     "relation_contrib_counts": o_relation_contrib_counts(),
     "relation_contributors": o_relation_contributors(),
+    "relation_member_windows": o_relation_member_windows(),
     "pricing_summary": o_pricing_summary(),
     "revenue_by_nation": o_revenue_by_nation(),
     "top_orders_per_segment": o_top_orders_per_segment(),
