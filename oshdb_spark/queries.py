@@ -2502,8 +2502,13 @@ def q_relation_member_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rel_id", F.col("o_ts").alias("ts"), qual_active.alias("qa"),
         qual_member.alias("qm"),
     )
-    per_ts = inst.groupBy("rel_id", "ts").agg(
-        F.max("qa").alias("qa"), F.max("qm").alias("qm")
+    # per_ts feeds BOTH the n_mod_ts union and the window counts; the
+    # checkpoint evaluates the as-of pipeline once (shared-subtree
+    # invariant, CLAUDE.md)
+    per_ts = (
+        inst.groupBy("rel_id", "ts")
+        .agg(F.max("qa").alias("qa"), F.max("qm").alias("qm"))
+        .localCheckpoint(eager=False)
     )
     qual = per_ts.filter("qa").select("rel_id", "ts")
     counts = per_ts.groupBy("rel_id").agg(
