@@ -294,6 +294,11 @@ def connected_components(
     round is one shuffle join + aggregation. ``localCheckpoint`` cuts
     the lineage so plans stay flat across iterations.
     """
+    # edges is typically an expensive similarity join; the symmetric
+    # union references it twice, so cut its lineage first — both union
+    # branches then share one computed RDD instead of re-running the
+    # join per direction (the shared-subtree checkpoint invariant)
+    edges = edges.localCheckpoint(eager=False)
     sym = edges.selectExpr("id_a AS src", "id_b AS dst").unionByName(
         edges.selectExpr("id_b AS src", "id_a AS dst")
     ).localCheckpoint(eager=False)
