@@ -61,6 +61,7 @@ def contributions(
     entity_col: str = "entity_id",
     tag_cols: tuple[str, ...] | None = None,
     geom_cols: tuple[str, ...] = ("lon_e7", "lat_e7"),
+    keep_before: tuple[str, ...] = (),
 ) -> DataFrame:
     """One row per contribution with a canonical ``contrib_type`` string.
 
@@ -76,6 +77,14 @@ def contributions(
     (map columns are canonicalized to key-sorted entry arrays; Spark has
     no map equality). The default diffs the scalar pair — the fixture's
     documented TAG_CHANGE signal (sources/versions.py).
+
+    ``keep_before`` names diff columns whose PREVIOUS-version value is
+    kept in the output as ``before_<col>`` — the
+    ``getEntityBefore()``/``getGeometryBefore()`` surface of the
+    reference (``OSMContribution.java:74-139``): NULL when the entity
+    was absent or non-matching before the contribution (CREATION rows),
+    the prior state otherwise, enabling before/after delta measures
+    (e.g. length added per edit).
     """
     v = versions
     if collapse:
@@ -121,11 +130,17 @@ def contributions(
         .otherwise(F.lit(None))
     )
 
-    return (
-        v.withColumn("contrib_type", ctype)
-        .filter(F.col("contrib_type").isNotNull())
-        .drop("_match", *[f"_prev_{c}" for c in diff_cols])
+    out = v.withColumn("contrib_type", ctype).filter(
+        F.col("contrib_type").isNotNull()
     )
+    for c in keep_before:
+        # _prev_<c> holds the canonicalized previous value; gate it on
+        # prev_match so a CREATION (or previously non-matching entity)
+        # reports no before-state, per the reference's null geometry
+        out = out.withColumn(
+            f"before_{c}", F.when(prev, F.col(f"_prev_{c}"))
+        )
+    return out.drop("_match", *[f"_prev_{c}" for c in diff_cols])
 
 
 def attribute_contributors(

@@ -3076,6 +3076,102 @@ def o_way_contrib_counts() -> str:
     """
 
 
+def q_contrib_len_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Before/after contribution measures — the
+    ``getGeometryBefore()``/``getGeometryAfter()`` surface
+    (``OSMContribution.java:74-107``) driving the classic
+    "road length added per edit type" analysis: way contributions carry
+    the previous version's geometry (``keep_before``), both sides run
+    the equirectangular length kernel, and the per-contribution delta
+    (after - before; a missing side contributes 0, so CREATION adds the
+    whole length and DELETION subtracts it) is summed per contribution
+    type. Integer-meter parity surface per the float-oracle invariant."""
+    import numpy as np
+    import pandas as pd
+
+    from oshdb_spark.functions.geo import EARTH_RADIUS
+    from oshdb_spark.sources.ways import derive_ways
+
+    def _len_fn(lon_arr, lat_arr):
+        # null-safe: rows with no before-state (CREATION) come through
+        # the Arrow batch as None (Catalyst extracts UDFs out of CASE
+        # WHEN — the gate cannot rely on WHEN to skip them) -> 0.0
+        lon_np = lon_arr.to_numpy()
+        mask = np.array([x is not None for x in lon_np])
+        out = np.zeros(len(lon_np))
+        if mask.any():
+            lon = np.stack(lon_np[mask]) * 1e-7
+            lat = np.stack(lat_arr.to_numpy()[mask]) * 1e-7
+            dlat = np.radians(lat[:, 1:] - lat[:, :-1])
+            dlng = np.radians(lon[:, 1:] - lon[:, :-1]) * np.cos(
+                np.radians((lat[:, 1:] + lat[:, :-1]) / 2.0)
+            )
+            out[mask] = np.round(
+                (EARTH_RADIUS * np.sqrt(dlng * dlng + dlat * dlat)).sum(axis=1), 4
+            )
+        return pd.Series(out)
+
+    way_len = pandas_udf(_len_fn, "double")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    c = contributions(
+        derive_ways(ev),
+        collapse=False,
+        entity_col="way_id",
+        tag_cols=(),
+        geom_cols=("lon_arr", "lat_arr"),
+        keep_before=("lon_arr", "lat_arr"),
+    )
+    delta = F.when(F.col("visible"), way_len("lon_arr", "lat_arr")).otherwise(
+        F.lit(0.0)
+    ) - way_len("before_lon_arr", "before_lat_arr")
+    return c.groupBy("contrib_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.floor(F.sum(delta) + F.lit(0.5)).cast("long").alias("delta_m"),
+    )
+
+
+def o_contrib_len_delta() -> str:
+    from oshdb_spark.sources.ways import lat_sql, lon_sql, ways_sql
+
+    terms = []
+    for j in range(4):
+        dlng = (
+            f"radians(({lon_sql(j + 1)} - {lon_sql(j)}) * 1e-7)"
+            f" * cos(radians((({lat_sql(j + 1)} + {lat_sql(j)}) * 1e-7) / 2.0))"
+        )
+        dlat = f"radians(({lat_sql(j + 1)} - {lat_sql(j)}) * 1e-7)"
+        terms.append(f"6371000.0 * sqrt(({dlng}) * ({dlng}) + ({dlat}) * ({dlat}))")
+    len_m = f"round({' + '.join(terms)}, 4)"
+    return f"""WITH wy AS ({ways_sql()}),
+    l AS (
+      SELECT *,
+        {len_m} AS len_m,
+        lag(visible) OVER win AS prev_visible,
+        lag({len_m}) OVER win AS prev_len,
+        lag(delta)   OVER win AS prev_delta,
+        lag(wiggle)  OVER win AS prev_wiggle
+      FROM wy
+      WINDOW win AS (PARTITION BY way_id ORDER BY version)
+    ),
+    t AS (
+      SELECT CASE
+        WHEN visible AND NOT coalesce(prev_visible, FALSE) THEN 'CREATION'
+        WHEN NOT visible AND coalesce(prev_visible, FALSE) THEN 'DELETION'
+        WHEN visible AND coalesce(prev_visible, FALSE)
+             AND (delta <> prev_delta OR wiggle <> prev_wiggle) THEN 'GEOMETRY_CHANGE'
+        WHEN visible AND coalesce(prev_visible, FALSE) THEN 'OTHER'
+        ELSE NULL END AS contrib_type,
+        (CASE WHEN visible THEN len_m ELSE 0.0 END)
+          - (CASE WHEN coalesce(prev_visible, FALSE) THEN prev_len ELSE 0.0 END) AS d
+      FROM l
+    )
+    SELECT contrib_type, count(*) AS cnt,
+           CAST(floor(sum(d) + 0.5) AS BIGINT) AS delta_m
+    FROM t WHERE contrib_type IS NOT NULL
+    GROUP BY 1
+    """
+
+
 TUMBLE_SEC = 6 * 3600
 
 
@@ -3812,6 +3908,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann_top5": q_ivf_ann_top5,
     "relation_contributors": q_relation_contributors,
     "relation_member_windows": q_relation_member_windows,
+    "contrib_len_delta": q_contrib_len_delta,
     # -- 50-window: core catalog ----------------------------------------
     "snapshot_count_by_ts": q_snapshot_count_by_ts,
     "snapshot_bbox_count_by_ts": q_snapshot_bbox_count_by_ts,
@@ -3840,7 +3937,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "way_contrib_counts": q_way_contrib_counts,
     "way_vector_tiles": q_way_vector_tiles,
     "type_counts_at_ts": q_type_counts_at_ts,
-    "rollup_ts_type": q_rollup_ts_type,
     "dedup_clusters": q_dedup_clusters,
     "way_aoi_clipped_length": q_way_aoi_clipped_length,
     "way_poly_area_with_hole": q_way_poly_area_with_hole,
@@ -3852,6 +3948,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "srp_neardup_pairs": q_srp_neardup_pairs,
     "relation_route_length": q_relation_route_length,
     # -- tail: double-green in r1+r2, stable, oracle-tested locally -----
+    "rollup_ts_type": q_rollup_ts_type,
     "uniq_users_by_building": q_uniq_users_by_building,
     "lang_pred_counts": q_lang_pred_counts,
     "traj_length": q_traj_length,
@@ -3941,6 +4038,7 @@ ORACLES: dict[str, str] = {
     "relation_contrib_counts": o_relation_contrib_counts(),
     "relation_contributors": o_relation_contributors(),
     "relation_member_windows": o_relation_member_windows(),
+    "contrib_len_delta": o_contrib_len_delta(),
     "pricing_summary": o_pricing_summary(),
     "revenue_by_nation": o_revenue_by_nation(),
     "top_orders_per_segment": o_top_orders_per_segment(),

@@ -158,3 +158,29 @@ def test_reconciliation_snapshot_delta_equals_contrib_sum(spark):
     }
     delta = snap_counts.get(t1, 0) - snap_counts.get(t0, 0)
     assert delta == by_type.get("CREATION", 0) - by_type.get("DELETION", 0)
+
+
+def test_contributions_keep_before_surface(spark):
+    """keep_before exposes the previous version's state as before_<col>
+    (OSMContribution.getGeometryBefore/getEntityBefore,
+    OSMContribution.java:74-139): NULL on CREATION (no before side —
+    including the filter-relative re-creation case), the prior value on
+    every other contribution."""
+    v = _versions(spark, [
+        (1, 1, T + 10, 1, 7, True, 0, 1, 100, 100),   # CREATION
+        (1, 2, T + 20, 2, 7, True, 0, 1, 200, 100),   # GEOMETRY_CHANGE
+        (1, 3, T + 30, 3, 7, False, 0, 1, 200, 100),  # DELETION
+        (1, 4, T + 40, 4, 7, True, 0, 1, 300, 100),   # CREATION (recreate)
+    ])
+    rows = {
+        r["version"]: (r["contrib_type"], r["before_lon_e7"])
+        for r in contributions(
+            v, keep_before=("lon_e7",)
+        ).collect()
+    }
+    assert rows == {
+        1: ("CREATION", None),          # no before state
+        2: ("GEOMETRY_CHANGE", 100),    # prior coordinate
+        3: ("DELETION", 200),           # deleted FROM this state
+        4: ("CREATION", None),          # invisible before -> no state
+    }
