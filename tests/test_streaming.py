@@ -208,3 +208,71 @@ def test_streaming_raster_tiles_match_batch(spark, sf_dir, staged_events, tmp_pa
         for r in spark.table("tile_stream_test").collect()
     }
     assert got == batch and len(got) > 5
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """A straggler arriving AFTER its window was finalized+evicted is
+    dropped — the late-data contract of windowed_contrib_counts. One
+    file per trigger: b1 advances the watermark past the day-1 window,
+    b2 finalizes and evicts it (append-mode emission), so the day-1
+    straggler in b3 hits evicted state and is excluded (cnt stays 1,
+    not 2, and the window is not re-emitted). A straggler landing in
+    the SAME batch as the finalization would still merge — eviction,
+    not the watermark timestamp alone, is the drop boundary."""
+    import pandas as pd
+
+    from oshdb_spark.streaming.contrib_stream import (
+        stream_contributions,
+        windowed_contrib_counts,
+    )
+
+    D = 86400
+    root = tmp_path / "late_src"
+    batches = [
+        [(10, 1, 1 * D)],   # b0: day-1 window seed
+        [(11, 2, 20 * D)],  # b1: advances watermark to day 18
+        [(12, 3, 21 * D)],  # b2: runs AT day-18 watermark -> emits+evicts day-1
+        [(13, 4, 1 * D)],   # b3: LATE day-1 straggler -> dropped
+        [(14, 5, 25 * D)],  # b4: watermark day 23 closes day-20/21 windows
+        [(15, 6, 26 * D)],  # b5: runs with day-23 watermark, flushes them
+    ]
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            [
+                (e, ev, ts, 1, True, 0, 1, 100, 100)
+                for (e, ev, ts) in rows
+            ],
+            columns=COLS,
+        )
+        spark.createDataFrame(pdf, EVENT_SCHEMA).coalesce(1).write.parquet(
+            str(root / f"b{i}")
+        )
+
+    src = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(root / "b*"))
+    )
+    win = windowed_contrib_counts(
+        stream_contributions(src), window="1 day", watermark="2 days"
+    )
+    q = (
+        win.writeStream.format("memory")
+        .queryName("late_drop_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        int(r["window"].start.timestamp()) // D: r["cnt"]
+        for r in spark.table("late_drop_test").collect()
+    }
+    # day-1 window finalized with ONLY the on-time event (the b3
+    # straggler dropped, no duplicate emission); day-20/21 windows
+    # closed by the day-23 watermark
+    assert got == {1: 1, 20: 1, 21: 1}
