@@ -84,7 +84,9 @@ def contributions(
     reference (``OSMContribution.java:74-139``): NULL when the entity
     was absent or non-matching before the contribution (CREATION rows),
     the prior state otherwise, enabling before/after delta measures
-    (e.g. length added per edit).
+    (e.g. length added per edit). Map columns surface in their
+    canonicalized key-sorted entry-array form (the same shape the diff
+    compares), not as maps.
     """
     v = versions
     if collapse:
