@@ -97,6 +97,13 @@ def contributions(
     v = v.withColumn("_match", F.col("visible") & match)
 
     diff_cols = list(tag_cols) + list(geom_cols)
+    bad = set(keep_before) - set(diff_cols)
+    if bad:
+        raise ValueError(
+            f"keep_before columns {sorted(bad)} are not diffed: keep_before "
+            f"must be a subset of tag_cols + geom_cols ({diff_cols}) — only "
+            "diffed columns carry a _prev_<col> state to report"
+        )
     w = Window.partitionBy(entity_col).orderBy("version")
     v = v.withColumn("prev_match", F.lag("_match").over(w))
     for c in diff_cols:

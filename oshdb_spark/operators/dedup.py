@@ -38,6 +38,39 @@ _B = _rng.integers(0, MERSENNE, N_HASHES, dtype=np.int64)
 
 _SEP = "\x1f"  # shingle-internal word separator (never appears in words)
 
+# LSH band buckets above this many members are excluded from candidate
+# generation: a degenerate bucket (boilerplate text, near-constant
+# documents) otherwise produces O(B^2) pairs inside one bucket — the
+# classic LSH blowup at corpus scale. Members of an oversized bucket are
+# near-identical by construction, which is exactly the population the
+# exact-fingerprint dedup pass (exact_dup_groups) already collapses in
+# one hash aggregation, so dropping the bucket loses no information the
+# pipeline needs; use ``oversized_buckets`` to disclose what was dropped.
+DEFAULT_MAX_BUCKET = 512
+
+
+def _cap_buckets(bands: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+    """Drop rows of band buckets with more than ``max_bucket`` members.
+    One count-window over the bucket keys — the same hash partitioning
+    the band self-join shuffles on, so the cap adds no extra exchange
+    shape, just the count pass."""
+    if max_bucket is None:
+        return bands
+    wb = Window.partitionBy(*keys)
+    return (
+        bands.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+
+
+def _oversized(bands: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    return (
+        bands.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
+    )
+
 
 def shingle_hashes_col(text_col) -> F.Column:
     """int64 hashes of the word 3-gram shingles of a document, built
@@ -132,17 +165,17 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Candidate near-dup pairs (a < b) from LSH band buckets."""
-    # materialize signatures once: the band self-join would otherwise
-    # duplicate the whole signature subtree (shingles + Arrow kernel)
-    # into both join branches — at scale this is the "write the
-    # signature table, then join it" step
+def _minhash_bands(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, band, bucket) rows of the LSH banding. Signatures are
+    materialized once: the band self-join would otherwise duplicate the
+    whole signature subtree (shingles + Arrow kernel) into both join
+    branches — at scale this is the "write the signature table, then
+    join it" step."""
     sigs = docs.select(
         F.col(id_col).alias("id"),
         _minhash_signature_udf()(shingle_hashes_col(F.col(text_col))).alias("sig"),
     ).localCheckpoint(eager=False)
-    bands = sigs.select(
+    return sigs.select(
         "id",
         F.posexplode(
             F.array(
@@ -152,6 +185,22 @@ def minhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
                 ]
             )
         ).alias("band", "bucket"),
+    )
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) from LSH band buckets. Buckets
+    with more than ``max_bucket`` members are dropped before the
+    self-join (see DEFAULT_MAX_BUCKET; ``minhash_oversized_buckets``
+    discloses them), keeping candidate counts ~linear under
+    boilerplate-heavy corpora; ``max_bucket=None`` disables the cap."""
+    bands = _cap_buckets(
+        _minhash_bands(docs, id_col, text_col), ["band", "bucket"], max_bucket
     )
     left = bands.alias("l")
     right = bands.alias("r")
@@ -164,6 +213,19 @@ def minhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
+    )
+
+
+def minhash_oversized_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Disclosure twin of ``minhash_candidates``: the (band, bucket,
+    bucket_size) rows the cap excluded from candidate generation."""
+    return _oversized(
+        _minhash_bands(docs, id_col, text_col), ["band", "bucket"], max_bucket
     )
 
 
@@ -347,24 +409,15 @@ def connected_components(
 SIMHASH_BANDS = 4  # 4 x 16-bit bands: complete for hamming <= 3
 
 
-def simhash_neardup_pairs(
-    docs: DataFrame,
-    max_hamming: int = 6,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, banded: candidates
-    must share one of 4 16-bit signature bands (pigeonhole: complete
-    for distance <= 3; a high-recall heuristic above that), then the
-    exact distance check is a JVM ``bit_count(a ^ b)``. The multi-probe
-    band join keeps candidate generation a hash join, never O(n^2)."""
-    # signatures materialized once (the self-join below would compute
-    # the shingle + kernel subtree twice otherwise)
+def _simhash_bands(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sim, band, val) rows of the 4x16-bit SimHash banding;
+    signatures materialized once (the self-join would compute the
+    shingle + kernel subtree twice otherwise)."""
     s = docs.select(
         F.col(id_col).alias("id"),
         _simhash64_udf()(shingle_hashes_col(F.col(text_col))).alias("sim"),
     ).localCheckpoint(eager=False)
-    bands = s.select(
+    return s.select(
         "id",
         "sim",
         F.posexplode(
@@ -375,6 +428,26 @@ def simhash_neardup_pairs(
                 ]
             )
         ).alias("band", "val"),
+    )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded: candidates
+    must share one of 4 16-bit signature bands (pigeonhole: complete
+    for distance <= 3; a high-recall heuristic above that), then the
+    exact distance check is a JVM ``bit_count(a ^ b)``. The multi-probe
+    band join keeps candidate generation a hash join, never O(n^2);
+    band buckets above ``max_bucket`` members are dropped before the
+    join (see DEFAULT_MAX_BUCKET — the boilerplate-blowup cap;
+    ``simhash_oversized_buckets`` discloses them)."""
+    bands = _cap_buckets(
+        _simhash_bands(docs, id_col, text_col), ["band", "val"], max_bucket
     )
     cand = (
         bands.alias("a")
@@ -388,3 +461,16 @@ def simhash_neardup_pairs(
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_oversized_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Disclosure twin of ``simhash_neardup_pairs``: the (band, val,
+    bucket_size) rows the cap excluded from candidate generation."""
+    return _oversized(
+        _simhash_bands(docs, id_col, text_col), ["band", "val"], max_bucket
+    )

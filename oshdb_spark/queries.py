@@ -2732,7 +2732,17 @@ def q_relation_contributors(spark: SparkSession, sf_dir: str) -> DataFrame:
     never hits it because real version timestamps are strictly ordered
     per entity). Output is per relation: contribution count, distinct
     contributors, and the attributed-uid SUM — an integer surface that
-    fails if any single attribution picks the wrong editor."""
+    fails if any single attribution picks the wrong editor.
+
+    SCOPE (deliberate): this gate tests ATTRIBUTION only — the member
+    list is taken from the relation's identity (``member_way_ids_col``
+    is version-independent in this fixture), not re-resolved as-of each
+    instant. Membership WINDOWING (a member's changes counting only
+    while it is a member, the reference's ``getMemberEntities(ts)``
+    as-of resolution with REL_SLOT_MOD churn) is exercised by the
+    sibling gates ``relation_member_windows`` and
+    ``way_member_mod_ts`` — splitting the two semantics keeps each
+    oracle a genuinely different algorithm from its Spark twin."""
     from oshdb_spark.operators.contribution import attribute_contributors
     from oshdb_spark.sources.relations import derive_relations, member_way_ids_col
     from oshdb_spark.sources.ways import WAY_MOD, derive_ways
@@ -3097,7 +3107,7 @@ def q_contrib_len_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the Arrow batch as None (Catalyst extracts UDFs out of CASE
         # WHEN — the gate cannot rely on WHEN to skip them) -> 0.0
         lon_np = lon_arr.to_numpy()
-        mask = np.array([x is not None for x in lon_np])
+        mask = ~lon_arr.isna().to_numpy()
         out = np.zeros(len(lon_np))
         if mask.any():
             lon = np.stack(lon_np[mask]) * 1e-7

@@ -28,6 +28,53 @@ def test_minhash_finds_planted_near_duplicate(spark, docs):
     assert ((verified.id_a == src) & (verified.id_b == src + 100000)).any()
 
 
+def test_lsh_bucket_cap_bounds_boilerplate_candidates(spark, docs):
+    """The classic LSH blowup: 1000 clones of one boilerplate text land
+    in one bucket per band and would alone contribute 1000*999/2 ≈ 500k
+    candidate pairs. With the bucket cap, candidate counts stay ~linear
+    in the non-boilerplate corpus, the genuinely-near planted pair still
+    verifies, and the dropped buckets are disclosed."""
+    from oshdb_spark.operators.dedup import (
+        N_BANDS,
+        SIMHASH_BANDS,
+        jaccard_verify,
+        minhash_candidates,
+        minhash_oversized_buckets,
+        simhash_neardup_pairs,
+        simhash_oversized_buckets,
+    )
+
+    base = docs.limit(20).select("doc_id", "text")
+    planted = base.limit(1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xyzzy")).alias("text"),
+    )
+    boiler = spark.range(1000).select(
+        (F.col("id") + 500000).alias("doc_id"),
+        F.lit(
+            "this site is provided as is without warranty of any kind"
+        ).alias("text"),
+    )
+    corpus = base.unionByName(planted).unionByName(boiler)
+
+    cands = minhash_candidates(corpus, max_bucket=64)
+    assert cands.count() < 1000  # uncapped: >= 499500 from the clones alone
+    verified = jaccard_verify(corpus, cands, threshold=0.5).toPandas()
+    src = base.limit(1).collect()[0]["doc_id"]
+    assert ((verified.id_a == src) & (verified.id_b == src + 100000)).any()
+    dropped = minhash_oversized_buckets(corpus, max_bucket=64).toPandas()
+    # identical clones share the full signature: one oversized bucket in
+    # every band, each holding all 1000 clones
+    assert len(dropped) == N_BANDS and (dropped.bucket_size >= 1000).all()
+
+    sh = simhash_neardup_pairs(corpus, max_hamming=3, max_bucket=64)
+    assert sh.count() < 1000
+    sh_dropped = simhash_oversized_buckets(corpus, max_bucket=64).toPandas()
+    assert len(sh_dropped) == SIMHASH_BANDS and (
+        sh_dropped.bucket_size >= 1000
+    ).all()
+
+
 def test_exact_dup_groups_finds_planted_copy(spark, docs):
     from oshdb_spark.operators.dedup import exact_dup_groups
 

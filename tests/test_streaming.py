@@ -4,6 +4,8 @@ events arrive in order (here: version-sorted file micro-batches)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -247,6 +249,14 @@ def test_watermark_drops_late_event(spark, tmp_path):
         spark.createDataFrame(pdf, EVENT_SCHEMA).coalesce(1).write.parquet(
             str(root / f"b{i}")
         )
+        # the file source orders triggers by modification time; batches
+        # written back-to-back can tie on mtime and process out of
+        # order (b3 before b2 would merge the straggler instead of
+        # dropping it) — pin strictly increasing mtimes per batch dir
+        t = 1_700_000_000 + i * 10
+        for p in (root / f"b{i}").rglob("*"):
+            os.utime(p, (t, t))
+        os.utime(root / f"b{i}", (t, t))
 
     src = (
         spark.readStream.schema(EVENT_SCHEMA)
