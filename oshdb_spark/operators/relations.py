@@ -269,17 +269,44 @@ def _chain_rings(arcs: list[dict]) -> tuple[list[dict], bool]:
     return rings, closed_all
 
 
+def _point_on_ring(lon: list[int], lat: list[int], px, py) -> bool:
+    """Is (px, py) ON the boundary of the closed ring? Exact for e7
+    integer coordinates via the collinearity cross product + segment
+    bbox test. Computed in int64 numpy; a wrap on pathological
+    antimeridian-spanning segments can only flip the answer, and either
+    direction is safe where this is used (a false 'on boundary' merely
+    re-probes at the next vertex, a false 'off' degrades to the
+    pre-repair behavior)."""
+    x = np.asarray(lon, dtype=np.int64)
+    y = np.asarray(lat, dtype=np.int64)
+    x1, x2, y1, y2 = x[:-1], x[1:], y[:-1], y[1:]
+    cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    within = (
+        (np.minimum(x1, x2) <= px)
+        & (px <= np.maximum(x1, x2))
+        & (np.minimum(y1, y2) <= py)
+        & (py <= np.maximum(y1, y2))
+    )
+    return bool(np.any((cross == 0) & within))
+
+
 def _classify_rings(rings: list[dict]) -> None:
     """Shell-vs-hole by geometry: a closed ring nested inside an odd
     number of the OTHER closed rings is ``inner``, else ``outer``
     (matching the containment pass of
     ``OSHDBGeometryBuilder.java:260-308``; even-odd nesting depth makes
-    islands-in-lakes outers again). The representative point is the
-    ring's first vertex — exact for rings that don't touch (the
-    reference repairs touching rings with buffer(0); a touching-ring
-    vertex ON another ring's edge is the documented approximation).
-    Unclosed rings keep their seed arc's role hint. Mutates ``rings``
-    in place, adding ``role``."""
+    islands-in-lakes outers again).
+
+    TOUCHING RINGS (the reference repairs them with buffer(0),
+    ``OSHDBGeometryBuilder.java:289-293``): the representative point
+    must not lie ON another closed ring's edge — a ray cast from a
+    boundary point is ill-defined (a hole touching its shell at a
+    vertex would classify as a second shell). The probe is therefore
+    the FIRST vertex of the ring that is on no other closed ring's
+    boundary (deterministic); if every vertex touches (degenerate,
+    e.g. a ring traced entirely along another's edges), the first
+    edge's midpoint is used. Unclosed rings keep their seed arc's role
+    hint. Mutates ``rings`` in place, adding ``role``."""
     closed = [
         r for r in rings if (r["lon"][0], r["lat"][0]) == (r["lon"][-1], r["lat"][-1])
     ]
@@ -290,11 +317,32 @@ def _classify_rings(rings: list[dict]) -> None:
     boxes = [
         (min(r["lon"]), max(r["lon"]), min(r["lat"]), max(r["lat"])) for r in closed
     ]
+
+    def on_any_other_boundary(r, px, py) -> bool:
+        for other, bb in zip(closed, boxes):
+            if other is r:
+                continue
+            if px < bb[0] or px > bb[1] or py < bb[2] or py > bb[3]:
+                continue
+            if _point_on_ring(other["lon"], other["lat"], px, py):
+                return True
+        return False
+
     for r in rings:
         if (r["lon"][0], r["lat"][0]) != (r["lon"][-1], r["lat"][-1]):
             r["role"] = r["hint"]
             continue
-        px, py = r["lon"][0], r["lat"][0]
+        probe = None
+        for px, py in zip(r["lon"][:-1], r["lat"][:-1]):
+            if not on_any_other_boundary(r, px, py):
+                probe = (px, py)
+                break
+        if probe is None:
+            probe = (
+                (r["lon"][0] + r["lon"][1]) / 2.0,
+                (r["lat"][0] + r["lat"][1]) / 2.0,
+            )
+        px, py = probe
         depth = 0
         for other, bb in zip(closed, boxes):
             if other is r:

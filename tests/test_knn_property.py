@@ -68,8 +68,25 @@ def test_knn_exact_for_any_config(points_queries, zoom, ring, k):
 
 
 def test_knn_sparse_points_all_fallback(spark):
-    """Fewer points than k everywhere: every query takes the fallback
-    and still returns the full exact ranking."""
+    """Fewer points than k everywhere and escalation capped below the
+    complete-cover ring: every query takes the full-scan fallback and
+    still returns the full exact ranking."""
+    pts = spark.createDataFrame(
+        [(i, i * 100_000_000 - 400_000_000, 0) for i in range(4)],
+        "entity_id long, lon_e7 long, lat_e7 long",
+    )
+    qs = spark.createDataFrame(
+        [(0, 0, 0), (1, 900_000_000, 0)], "q_id long, q_lon long, q_lat long"
+    )
+    got = knn(pts, qs, k=10, zoom=4, ring=1, max_ring=2)
+    per_q = got.groupBy("q_id").count().collect()
+    assert {r["q_id"]: r["count"] for r in per_q} == {0: 4, 1: 4}
+
+
+def test_knn_complete_ring_cover_never_full_scans(spark):
+    """Fewer points than k everywhere, but escalation reaches the ring
+    that covers the whole grid (zoom 4 -> ring 8): candidates are all
+    points, the result is exact, and NO full-scan branch exists."""
     pts = spark.createDataFrame(
         [(i, i * 100_000_000 - 400_000_000, 0) for i in range(4)],
         "entity_id long, lon_e7 long, lat_e7 long",
@@ -78,5 +95,36 @@ def test_knn_sparse_points_all_fallback(spark):
         [(0, 0, 0), (1, 900_000_000, 0)], "q_id long, q_lon long, q_lat long"
     )
     got = knn(pts, qs, k=10, zoom=4, ring=1)
+    assert "BroadcastNestedLoopJoin" not in _plan_of(got)
     per_q = got.groupBy("q_id").count().collect()
     assert {r["q_id"]: r["count"] for r in per_q} == {0: 4, 1: 4}
+
+
+def _plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_knn_sparse_corner_escalates_without_full_scan(spark):
+    """The VERDICT r3 scale-killer (c): a sparse-region query must not
+    trigger a scan of the whole points table. A cluster ~3 cells from
+    the query at zoom 5 yields zero ring-1 candidates; escalation
+    resolves it at ring 4 with the distance guarantee, the result
+    equals brute force, and the plan contains NO BroadcastNestedLoopJoin
+    (the full-scan fallback was never built)."""
+    # zoom 5: w_cell = 3_600_000_000 / 32 = 112_500_000; the cluster
+    # sits ~3.2 cell widths east of the query (Chebyshev cell dist 3)
+    pts = spark.createDataFrame(
+        [(i, 360_000_000 + i * 1_000_000, 0) for i in range(10)],
+        "entity_id long, lon_e7 long, lat_e7 long",
+    )
+    qs = spark.createDataFrame([(0, 0, 0)], "q_id long, q_lon long, q_lat long")
+    got = knn(pts, qs, k=3, zoom=5, ring=1)
+    assert "BroadcastNestedLoopJoin" not in _plan_of(got)
+    rows = {(r["q_id"], r["rank"], r["entity_id"]) for r in got.collect()}
+    assert rows == {(0, 1, 0), (0, 2, 1), (0, 3, 2)}

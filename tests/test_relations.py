@@ -386,6 +386,101 @@ def test_fixture_assembly_identical_under_role_scramble(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# touching rings (OSHDBGeometryBuilderTestOsmTestData7xxTest: 751/755/763)
+# ---------------------------------------------------------------------------
+# The reference repairs touching rings with buffer(0)
+# (OSHDBGeometryBuilder.java:289-293); here classification must survive a
+# ring whose representative vertex lies ON another ring's boundary by
+# re-probing at the first non-touching vertex (or the first edge midpoint
+# when every vertex touches).
+
+
+def _closed(role, pts):
+    """One already-closed arc (first point repeated at the end)."""
+    ring = pts + [pts[0]]
+    return _arc(role, 0, ring)
+
+
+def _abs_ring_area(pts):
+    closed = pts + [pts[0]]
+    return abs(
+        _ring_signed_area_m2([p[0] for p in closed], [p[1] for p in closed])
+    )
+
+
+def test_inner_touching_outer_at_node():
+    """Reference test755: inner ring touching the outer IN a shared
+    node. The inner's first vertex sits on the outer boundary; the
+    classifier must re-probe and still call it a hole."""
+    outer = [(0, 0), (4_000_000, 0), (4_000_000, 1_500_000),
+             (4_000_000, 3_000_000), (0, 3_000_000)]
+    inner = [(4_000_000, 1_500_000), (3_000_000, 500_000),
+             (2_000_000, 1_500_000), (3_000_000, 2_500_000)]
+    out = _assemble([_closed("", outer), _closed("", inner)])
+    assert out["closed"]
+    assert out["n_outer"] == 1 and out["n_inner"] == 1
+    expect = _abs_ring_area(outer) - _abs_ring_area(inner)
+    assert out["area_m2"] == pytest.approx(expect, rel=1e-12)
+
+
+def test_two_inners_touching_each_other():
+    """Reference test751: valid multipolygon with touching inner rings
+    (two holes sharing one vertex inside the shell)."""
+    a = [(1_000_000, 1_500_000), (1_500_000, 1_000_000),
+         (2_000_000, 1_500_000), (1_500_000, 2_000_000)]
+    b = [(2_000_000, 1_500_000), (2_500_000, 1_000_000),
+         (3_000_000, 1_500_000), (2_500_000, 2_000_000)]
+    out = _assemble([_closed("", RECT), _closed("", a), _closed("", b)])
+    assert out["closed"]
+    assert out["n_outer"] == 1 and out["n_inner"] == 2
+    expect = _abs_ring_area(RECT) - _abs_ring_area(a) - _abs_ring_area(b)
+    assert out["area_m2"] == pytest.approx(expect, rel=1e-12)
+
+
+def test_four_outers_touching_in_single_point():
+    """Reference test763: four outer rings (petals) all sharing ONE
+    vertex. Every petal's first vertex lies on the other three rings'
+    boundaries; each must still classify as a shell (depth 0)."""
+    petals = [
+        [(0, 0), (1_000_000, -500_000), (2_000_000, 0), (1_000_000, 500_000)],
+        [(0, 0), (500_000, 1_000_000), (0, 2_000_000), (-500_000, 1_000_000)],
+        [(0, 0), (-1_000_000, 500_000), (-2_000_000, 0), (-1_000_000, -500_000)],
+        [(0, 0), (-500_000, -1_000_000), (0, -2_000_000), (500_000, -1_000_000)],
+    ]
+    out = _assemble([_closed("", p) for p in petals])
+    assert out["closed"]
+    assert out["n_outer"] == 4 and out["n_inner"] == 0
+    expect = sum(_abs_ring_area(p) for p in petals)
+    assert out["area_m2"] == pytest.approx(expect, rel=1e-12)
+
+
+def test_every_vertex_touching_falls_back_to_edge_midpoint():
+    """Degenerate: a hole whose EVERY vertex lies on the shell boundary
+    (diamond inscribed at the square's edge midpoints). No vertex
+    qualifies as a probe; the first-edge midpoint must, and it
+    classifies the diamond as a hole."""
+    square = [(0, 0), (4_000_000, 0), (4_000_000, 4_000_000), (0, 4_000_000)]
+    diamond = [(2_000_000, 0), (4_000_000, 2_000_000),
+               (2_000_000, 4_000_000), (0, 2_000_000)]
+    out = _assemble([_closed("", square), _closed("", diamond)])
+    assert out["closed"]
+    assert out["n_outer"] == 1 and out["n_inner"] == 1
+    expect = _abs_ring_area(square) - _abs_ring_area(diamond)
+    assert out["area_m2"] == pytest.approx(expect, rel=1e-12)
+
+
+def test_point_on_ring_predicate():
+    from oshdb_spark.operators.relations import _point_on_ring
+
+    ring = [p[0] for p in RECT] + [RECT[0][0]], [p[1] for p in RECT] + [RECT[0][1]]
+    assert _point_on_ring(*ring, 0, 0)                    # vertex
+    assert _point_on_ring(*ring, 2_000_000, 0)            # mid-edge
+    assert not _point_on_ring(*ring, 2_000_000, 1)        # just inside
+    assert not _point_on_ring(*ring, 2_000_000, -1)       # just outside
+    assert not _point_on_ring(*ring, 4_000_001, 0)        # past the corner
+
+
+# ---------------------------------------------------------------------------
 # skew probe: one giant relation through the salted gather
 # ---------------------------------------------------------------------------
 
