@@ -2211,6 +2211,42 @@ def o_way_kind_measures() -> str:
 # relation entities: multipolygon ring assembly (outer shells + holes)
 # ---------------------------------------------------------------------------
 
+# decoded relation-member frame, once per (session, input dir) — the
+# engine-level analog of the reference keeping GridOSHEntity cells
+# RESIDENT in Ignite across queries (the OSHDBIgnite backend's whole
+# point): every relation-family catalog query was re-running the
+# identical ring:-doc encode->decode pipeline (~1.4 s/query at sf0.1).
+# localCheckpoint(eager=False) materializes on first action; later
+# queries in the same session read the stored blocks.
+_MEMBER_FRAME_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _decoded_relation_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All relation member arcs, through the FULL interleaved-doc round
+    trip (ring: span encode -> decode, the codec the mp-area gate
+    verifies), checkpointed once per (session, sf_dir)."""
+    from oshdb_spark.sources.relations import (
+        derive_relation_members,
+        derive_relations,
+        docs_to_relation_members,
+        relations_to_docs,
+    )
+
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    got = _MEMBER_FRAME_CACHE.get(key)
+    if got is not None:
+        return got
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the version frame feeds BOTH the member fan-out and the meta spans
+    # — localCheckpoint evaluates its window once (CLAUDE.md invariant)
+    rels = derive_relations(ev).localCheckpoint(eager=False)
+    m = docs_to_relation_members(
+        relations_to_docs(derive_relation_members(ev, rels=rels), rels=rels)
+    ).localCheckpoint(eager=False)
+    _MEMBER_FRAME_CACHE[key] = m
+    return m
+
+
 def q_relation_mp_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relation -> multipolygon: member arcs as-of TILE_TS are chained
     into closed rings by endpoint matching (reversing backwards-stored
@@ -2221,26 +2257,15 @@ def q_relation_mp_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     rings, not merely order them. The oracle expands the expected area
     symbolically from the same corner arithmetic. Like the way queries,
     the members pass through the FULL interleaved-doc round trip
-    (ring: span encode -> decode), so the gate also verifies the
-    relation codec."""
+    (ring: span encode -> decode, shared and checkpointed across the
+    relation family via ``_decoded_relation_members``), so the gate
+    also verifies the relation codec."""
     from oshdb_spark.operators.relations import (
         assemble_multipolygons,
         collect_member_arcs,
     )
-    from oshdb_spark.sources.relations import (
-        derive_relation_members,
-        derive_relations,
-        docs_to_relation_members,
-        relations_to_docs,
-    )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # the version frame feeds BOTH the member fan-out and the meta spans
-    # — localCheckpoint evaluates its window once (CLAUDE.md invariant)
-    rels = derive_relations(ev).localCheckpoint(eager=False)
-    m = docs_to_relation_members(
-        relations_to_docs(derive_relation_members(ev, rels=rels), rels=rels)
-    ).transform(_asof_visible)
+    m = _decoded_relation_members(spark, sf_dir).transform(_asof_visible)
     mp = assemble_multipolygons(collect_member_arcs(m))
     return mp.select(
         "rel_id",
@@ -2292,7 +2317,11 @@ def q_relation_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     even-odd ray casting over ALL assembled rings — the parity rule
     makes holes fall out with no outer/inner classification
     (FastPointInPolygon + inner-ring subtraction semantics). The oracle
-    predicts the booleans from the fixture geometry."""
+    predicts the booleans from the fixture geometry. Members come from
+    the SHARED decoded frame (``_decoded_relation_members``) — the
+    codec round trip is lossless (roundtrip-preserves-assembly test),
+    so results are identical to the direct member table while the
+    expensive decode is paid once per session."""
     from oshdb_spark.operators.relations import (
         assemble_multipolygons,
         collect_member_arcs,
@@ -2309,11 +2338,9 @@ def q_relation_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
         LON_SPAN,
         W_BASE,
         W_STEP,
-        derive_relation_members,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    m = derive_relation_members(ev).transform(_asof_visible)
+    m = _decoded_relation_members(spark, sf_dir).transform(_asof_visible)
     mp = assemble_multipolygons(collect_member_arcs(m))
     x0 = (F.col("rel_id") * LON_A % LON_SPAN - LON_OFF).cast("long")
     y0 = (F.col("rel_id") * LAT_A % LAT_SPAN - LAT_OFF).cast("long")
@@ -2375,57 +2402,28 @@ REL_SLOT_MOD = 3  # slot s of relation r is a member in version v iff
 #                   across versions (the interval-validity fixture)
 
 
-def q_relation_member_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Member-reference INTERVAL VALIDITY
-    (``OSHEntities.java:395-478``): when a relation's member list
-    changes across versions, a member way's own changes count as
-    relation modifications only while the way IS a member — each
-    visible version with the slot present contributes the validity
-    interval [version.ts, next version.ts] (closed upper bound: the
-    reference's ``current <= toTs`` walk counts a child change landing
-    exactly on the next version's timestamp; the newest version's
-    interval is open-ended). Invisible versions contribute no
-    intervals, and own instants are the visible version timestamps
-    plus the visible->invisible transition instant (the prevNonmatch
-    trick, ``OSHEntities.java:287-303/402-410``).
+def _member_window_per_ts(vers: DataFrame, child_ts: DataFrame, pid: str) -> DataFrame:
+    """The as-of member-window resolution shared by the relation- and
+    way-level child-induced modification gates
+    (``OSHEntities.java:315-478``): given one row per (parent version,
+    member slot) and the child entities' version instants, resolve each
+    child instant against the parent's version timeline with one as-of
+    window per (parent, slot) — the scalable member range-join shape
+    (SURVEY §2.7) — qualifying the instant through its as-of version
+    (or, on an exact boundary, the predecessor version: the
+    closed-upper-bound rule of the reference's ``current <= toTs``
+    walk).
 
-    The Spark side resolves each way instant AGAINST the relation's
-    version timeline with one as-of window per (relation, slot) —
-    the scalable member range-join shape (SURVEY §2.7) — qualifying
-    the instant through its as-of version (or, on an exact boundary,
-    the predecessor version, which is the closed-bound rule restated).
-    The oracle derives the same answer from the naive per-version
-    interval join — a genuinely different algorithm, so the gate
-    checks the semantics, not the plan. ``n_windowed_out`` counts the
-    instants the membership windowing excludes versus always-member
-    semantics — nonzero by construction, so a vacuously-permissive
-    window fails the hash."""
-    from oshdb_spark.sources.relations import derive_relations, member_way_ids_col
-    from oshdb_spark.sources.ways import WAY_MOD, derive_ways
-
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    rels = derive_relations(ev)
-    wv = Window.partitionBy("rel_id").orderBy("version")
-    own = (
-        rels.withColumn("pv", F.lag("visible").over(wv))
-        .filter(F.col("visible") | F.coalesce(F.col("pv"), F.lit(False)))
-        .select("rel_id", "ts")
-    )
-
-    # version timeline per (relation, member slot), with the slot's
-    # activity in this version and in the previous one (the closed
-    # upper bound consults the predecessor at exact boundaries)
-    vers = rels.select(
-        "rel_id",
-        "version",
-        "ts",
-        "visible",
-        F.posexplode(member_way_ids_col(WAY_MOD)).alias("m_ord", "way_id"),
-    ).withColumn(
-        "active",
-        F.col("visible")
-        & ((F.col("rel_id") + F.col("version") + F.col("m_ord")) % REL_SLOT_MOD != 0),
-    )
+    ``vers``: (pid, m_ord, child_id, version, ts, visible, active) —
+    ``active`` is the slot's membership in that version (parents encode
+    their own slot model). ``child_ts``: (child_id, c_ts). Returns
+    per-instant qualification per parent, ``(pid, ts, qa, qm)``,
+    localCheckpoint'ed because every caller fans it into at least two
+    aggregations (shared-subtree invariant, CLAUDE.md): ``qa`` = the
+    instant falls inside an ACTIVE membership window; ``qm`` = inside a
+    visible version's window regardless of slot activity (``qm AND NOT
+    qa`` counts what the windowing excludes — the non-vacuity surface).
+    """
     # collapse same-timestamp versions into one timeline group: every
     # non-final version of a group owns a zero-length closed interval
     # [t, t], so the group's effective state is ANY(active)/ANY(visible),
@@ -2433,14 +2431,14 @@ def q_relation_member_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LAST version of the previous group (the one whose valid_to == t).
     # Grouping also makes ts unique per partition, so the as-of window
     # below is deterministic even with duplicate version timestamps.
-    grp = vers.groupBy("rel_id", "m_ord", "ts").agg(
+    grp = vers.groupBy(pid, "m_ord", "ts").agg(
         F.max(F.struct("version", "active", "visible")).alias("_last"),
         F.max("active").alias("any_active"),
         F.max("visible").alias("any_visible"),
     )
-    wg = Window.partitionBy("rel_id", "m_ord").orderBy("ts")
+    wg = Window.partitionBy(pid, "m_ord").orderBy("ts")
     grp = grp.select(
-        "rel_id",
+        pid,
         "m_ord",
         "ts",
         "any_active",
@@ -2453,10 +2451,9 @@ def q_relation_member_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-    # probe rows: every version instant of every (relation, slot)'s way
-    slots = vers.select("rel_id", "m_ord", "way_id").distinct()
-    way_ts = derive_ways(ev).select("way_id", F.col("ts").alias("w_ts"))
-    probes = slots.join(way_ts, "way_id")
+    # probe rows: every version instant of every (parent, slot)'s child
+    slots = vers.select(pid, "m_ord", "child_id").distinct()
+    probes = slots.join(child_ts, "child_id")
 
     # as-of merge: union group rows (src=0) and probe rows (src=1),
     # sort by (ts, src) so a boundary probe resolves to the NEW group,
@@ -2466,11 +2463,11 @@ def q_relation_member_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_visible", "prev_active",
     )
     u = grp.select(
-        "rel_id", "m_ord", F.col("ts").alias("o_ts"), F.lit(0).alias("src"),
+        pid, "m_ord", F.col("ts").alias("o_ts"), F.lit(0).alias("src"),
         state.alias("st"),
     ).unionByName(
         probes.select(
-            "rel_id", "m_ord", F.col("w_ts").alias("o_ts"), F.lit(1).alias("src"),
+            pid, "m_ord", F.col("c_ts").alias("o_ts"), F.lit(1).alias("src"),
             F.lit(None).cast(
                 "struct<ts:long,any_visible:boolean,any_active:boolean,"
                 "last_visible:boolean,last_active:boolean,"
@@ -2479,7 +2476,7 @@ def q_relation_member_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wa = (
-        Window.partitionBy("rel_id", "m_ord")
+        Window.partitionBy(pid, "m_ord")
         .orderBy("o_ts", "src")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -2499,17 +2496,68 @@ def q_relation_member_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         boundary, F.col("asof.any_visible") | F.col("asof.prev_visible")
     ).otherwise(F.col("asof.last_visible"))
     inst = resolved.select(
-        "rel_id", F.col("o_ts").alias("ts"), qual_active.alias("qa"),
+        pid, F.col("o_ts").alias("ts"), qual_active.alias("qa"),
         qual_member.alias("qm"),
     )
-    # per_ts feeds BOTH the n_mod_ts union and the window counts; the
-    # checkpoint evaluates the as-of pipeline once (shared-subtree
-    # invariant, CLAUDE.md)
-    per_ts = (
-        inst.groupBy("rel_id", "ts")
+    return (
+        inst.groupBy(pid, "ts")
         .agg(F.max("qa").alias("qa"), F.max("qm").alias("qm"))
         .localCheckpoint(eager=False)
     )
+
+
+def q_relation_member_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member-reference INTERVAL VALIDITY
+    (``OSHEntities.java:395-478``): when a relation's member list
+    changes across versions, a member way's own changes count as
+    relation modifications only while the way IS a member — each
+    visible version with the slot present contributes the validity
+    interval [version.ts, next version.ts] (closed upper bound: the
+    reference's ``current <= toTs`` walk counts a child change landing
+    exactly on the next version's timestamp; the newest version's
+    interval is open-ended). Invisible versions contribute no
+    intervals, and own instants are the visible version timestamps
+    plus the visible->invisible transition instant (the prevNonmatch
+    trick, ``OSHEntities.java:287-303/402-410``).
+
+    The Spark side resolves each way instant AGAINST the relation's
+    version timeline via the shared ``_member_window_per_ts`` as-of
+    machinery. The oracle derives the same answer from the naive
+    per-version interval join — a genuinely different algorithm, so
+    the gate checks the semantics, not the plan. ``n_windowed_out``
+    counts the instants the membership windowing excludes versus
+    always-member semantics — nonzero by construction, so a
+    vacuously-permissive window fails the hash."""
+    from oshdb_spark.sources.relations import derive_relations, member_way_ids_col
+    from oshdb_spark.sources.ways import WAY_MOD, derive_ways
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rels = derive_relations(ev)
+    wv = Window.partitionBy("rel_id").orderBy("version")
+    own = (
+        rels.withColumn("pv", F.lag("visible").over(wv))
+        .filter(F.col("visible") | F.coalesce(F.col("pv"), F.lit(False)))
+        .select("rel_id", "ts")
+    )
+
+    # version timeline per (relation, member slot), with the slot's
+    # activity in this version (the closed upper bound consults the
+    # predecessor at exact boundaries, inside the shared machinery)
+    vers = rels.select(
+        "rel_id",
+        "version",
+        "ts",
+        "visible",
+        F.posexplode(member_way_ids_col(WAY_MOD)).alias("m_ord", "child_id"),
+    ).withColumn(
+        "active",
+        F.col("visible")
+        & ((F.col("rel_id") + F.col("version") + F.col("m_ord")) % REL_SLOT_MOD != 0),
+    )
+    way_ts = derive_ways(ev).select(
+        F.col("way_id").alias("child_id"), F.col("ts").alias("c_ts")
+    )
+    per_ts = _member_window_per_ts(vers, way_ts, "rel_id")
     qual = per_ts.filter("qa").select("rel_id", "ts")
     counts = per_ts.groupBy("rel_id").agg(
         F.sum(F.col("qa").cast("long")).alias("n_child_in_window"),
@@ -2582,6 +2630,130 @@ def o_relation_member_windows() -> str:
            coalesce(c.n_child_in_window, 0) AS n_child_in_window,
            coalesce(c.n_windowed_out, 0) AS n_windowed_out
     FROM modts m LEFT JOIN counts c ON c.rel_id = m.rel_id
+    """
+
+
+def q_way_member_mod_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAY-level child-induced modification timestamps
+    (``OSHEntities.java:315-393``): the single most common history
+    operation on real OSM data — a way's geometry changes when its
+    member NODES are edited, so the way's modification instants are
+    its OWN version timestamps (plus the visible->invisible transition
+    instant) merged with every member node's version instants that
+    fall inside an ACTIVE membership window. Exactly the relation
+    member-window machinery (`relation_member_windows`) one entity
+    level down, through the shared ``_member_window_per_ts`` as-of
+    resolution; membership changes across way versions via
+    ``WAY_SLOT_MOD``, so the windowing is real. The oracle is the
+    naive per-version interval join — a different algorithm, so the
+    gate checks semantics, not the plan. ``n_windowed_out`` is nonzero
+    by construction (vacuously-permissive windowing fails the hash)."""
+    from oshdb_spark.sources.versions import ENTITY_MOD, derive_versions
+    from oshdb_spark.sources.ways import WAY_SLOT_MOD, derive_ways, member_node_ids_col
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ways = derive_ways(ev)
+    wv = Window.partitionBy("way_id").orderBy("version")
+    own = (
+        ways.withColumn("pv", F.lag("visible").over(wv))
+        .filter(F.col("visible") | F.coalesce(F.col("pv"), F.lit(False)))
+        .select("way_id", "ts")
+    )
+
+    vers = ways.select(
+        "way_id",
+        "version",
+        "ts",
+        "visible",
+        F.posexplode(member_node_ids_col(ENTITY_MOD)).alias("m_ord", "child_id"),
+    ).withColumn(
+        "active",
+        F.col("visible")
+        & ((F.col("way_id") + F.col("version") + F.col("m_ord")) % WAY_SLOT_MOD != 0),
+    )
+    node_ts = derive_versions(ev).select(
+        F.col("entity_id").alias("child_id"), F.col("ts").alias("c_ts")
+    )
+    per_ts = _member_window_per_ts(vers, node_ts, "way_id")
+    qual = per_ts.filter("qa").select("way_id", "ts")
+    counts = per_ts.groupBy("way_id").agg(
+        F.sum(F.col("qa").cast("long")).alias("n_child_in_window"),
+        F.sum((F.col("qm") & ~F.col("qa")).cast("long")).alias("n_windowed_out"),
+    )
+    n_mod = (
+        own.unionByName(qual)
+        .groupBy("way_id")
+        .agg(F.count_distinct("ts").alias("n_mod_ts"))
+    )
+    return n_mod.join(counts, "way_id", "left").select(
+        "way_id",
+        "n_mod_ts",
+        F.coalesce("n_child_in_window", F.lit(0)).alias("n_child_in_window"),
+        F.coalesce("n_windowed_out", F.lit(0)).alias("n_windowed_out"),
+    )
+
+
+def o_way_member_mod_ts() -> str:
+    from oshdb_spark.sources.versions import ENTITY_MOD
+    from oshdb_spark.sources.ways import WAY_SLOT_MOD, member_node_ids_sql, ways_sql
+
+    formulas = ", ".join(member_node_ids_sql(ENTITY_MOD))
+    ordinals = ", ".join(str(i) for i in range(len(member_node_ids_sql(ENTITY_MOD))))
+    # node version instants: same derivation as the versions CTE, but only
+    # the (entity_id, ts) columns the interval join consumes
+    return f"""WITH wy AS ({ways_sql()}),
+    nd AS (
+      SELECT event_id % {ENTITY_MOD} AS node_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts
+      FROM events
+    ),
+    own AS (
+      SELECT way_id, ts FROM (
+        SELECT way_id, ts, visible, lag(visible) OVER win AS pv
+        FROM wy WINDOW win AS (PARTITION BY way_id ORDER BY version))
+      WHERE visible OR coalesce(pv, FALSE)
+    ),
+    refs AS (
+      SELECT way_id, version, ts, valid_to, visible, u.m_ord, u.node_id
+      FROM wy, LATERAL (
+        SELECT unnest([{ordinals}]) AS m_ord, unnest([{formulas}]) AS node_id
+      ) u
+    ),
+    -- per-version validity interval [ts, valid_to] (closed upper
+    -- bound; NULL valid_to = open-ended); visible versions only
+    joined AS (
+      SELECT a.way_id, a.m_ord, n.ts,
+             bool_or(a.visible AND
+                     (a.way_id + a.version + a.m_ord) % {WAY_SLOT_MOD} <> 0)
+               AS qa,
+             bool_or(a.visible) AS qm
+      FROM refs a JOIN nd n ON n.node_id = a.node_id
+      WHERE n.ts >= a.ts AND (a.valid_to IS NULL OR n.ts <= a.valid_to)
+      GROUP BY 1, 2, 3
+    ),
+    per_ts AS (
+      SELECT way_id, ts, bool_or(qa) AS qa, bool_or(qm) AS qm
+      FROM joined GROUP BY 1, 2
+    ),
+    counts AS (
+      SELECT way_id,
+             CAST(sum(CASE WHEN qa THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_child_in_window,
+             CAST(sum(CASE WHEN qm AND NOT qa THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_windowed_out
+      FROM per_ts GROUP BY 1
+    ),
+    modts AS (
+      SELECT way_id, CAST(count(DISTINCT ts) AS BIGINT) AS n_mod_ts FROM (
+        SELECT way_id, ts FROM own
+        UNION ALL
+        SELECT way_id, ts FROM per_ts WHERE qa
+      ) GROUP BY 1
+    )
+    SELECT m.way_id, m.n_mod_ts,
+           coalesce(c.n_child_in_window, 0) AS n_child_in_window,
+           coalesce(c.n_windowed_out, 0) AS n_windowed_out
+    FROM modts m LEFT JOIN counts c ON c.way_id = m.way_id
     """
 
 
@@ -3919,8 +4091,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "relation_contributors": q_relation_contributors,
     "relation_member_windows": q_relation_member_windows,
     "contrib_len_delta": q_contrib_len_delta,
+    "way_member_mod_ts": q_way_member_mod_ts,
     # -- 50-window: core catalog ----------------------------------------
-    "snapshot_count_by_ts": q_snapshot_count_by_ts,
+    # (snapshot_count_by_ts rotated to the tail for way_member_mod_ts:
+    # triple-green r1-r3 and its EXACT oracle stays in-window through
+    # docs_roundtrip_snapshot / docs_prefiltered_snapshot)
     "snapshot_bbox_count_by_ts": q_snapshot_bbox_count_by_ts,
     "contrib_type_counts": q_contrib_type_counts,
     "contrib_filtered": q_contrib_filtered,
@@ -3957,7 +4132,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bbox_region_clipped_area": q_bbox_region_clipped_area,
     "srp_neardup_pairs": q_srp_neardup_pairs,
     "relation_route_length": q_relation_route_length,
-    # -- tail: double-green in r1+r2, stable, oracle-tested locally -----
+    # -- tail: multi-round green, stable, oracle-tested locally ---------
+    "snapshot_count_by_ts": q_snapshot_count_by_ts,
     "rollup_ts_type": q_rollup_ts_type,
     "uniq_users_by_building": q_uniq_users_by_building,
     "lang_pred_counts": q_lang_pred_counts,
@@ -4048,6 +4224,7 @@ ORACLES: dict[str, str] = {
     "relation_contrib_counts": o_relation_contrib_counts(),
     "relation_contributors": o_relation_contributors(),
     "relation_member_windows": o_relation_member_windows(),
+    "way_member_mod_ts": o_way_member_mod_ts(),
     "contrib_len_delta": o_contrib_len_delta(),
     "pricing_summary": o_pricing_summary(),
     "revenue_by_nation": o_revenue_by_nation(),

@@ -80,6 +80,39 @@ def derive_ways(ev: DataFrame, way_mod: int = WAY_MOD) -> DataFrame:
     )
 
 
+# --- way -> node member references (OSHEntities.java:315-393) --------------
+# The reference derives WAY geometry changes from node-member edits: a
+# node version instant counts as a way modification while the node IS a
+# member of the way. Per SURVEY §7.0 way geometry itself is
+# pre-materialized, so these references exist purely to exercise the
+# child-induced modification machinery one level below relations — the
+# same normalized member model as sources/relations.member_way_ids_col.
+NODES_PER_WAY = 3
+WAY_SLOT_MOD = 3  # node slot s of way w is a member in version v iff
+#                   (w + v + s) % 3 != 0 — membership that CHANGES across
+#                   versions (the interval-validity fixture, mirroring
+#                   queries.REL_SLOT_MOD one entity level down)
+
+
+def member_node_ids_sql(entity_mod: int) -> list[str]:
+    """The node-member-id formulas as SQL expressions over ``way_id``."""
+    return [
+        f"(way_id % {entity_mod})",
+        f"((way_id * 11 + 3) % {entity_mod})",
+        f"((way_id * 17 + 5) % {entity_mod})",
+    ]
+
+
+def member_node_ids_col(entity_mod: int) -> F.Column:
+    """Same formulas as an array Column."""
+    wid = F.col("way_id")
+    return F.array(
+        (wid % entity_mod).cast("long"),
+        ((wid * 11 + 3) % entity_mod).cast("long"),
+        ((wid * 17 + 5) % entity_mod).cast("long"),
+    )
+
+
 # --- way tag model (TagInterpreter fixture) --------------------------------
 # key ids from functions/taginterpreter.py; presence/value rules are pure
 # way_id arithmetic, mirrored in SQL below. Even way_ids are digitized as
