@@ -52,6 +52,7 @@ class _ViewState:
     zerofill_universes: tuple[DataFrame, ...] = ()
     ts_floor: bool = False
     known_tag_keys: frozenset[int] | None = None
+    timeout_s: float | None = None
 
 
 class _BaseView:
@@ -140,6 +141,16 @@ class _BaseView:
         """map/flatMap analog: a DataFrame->DataFrame stage (use
         withColumn/select/explode inside — Column-level, not per-row)."""
         return self._with(mappers=self._s.mappers + (fn,))
+
+    def timeout(self, seconds: float | None) -> "_BaseView":
+        """Wall-clock limit on the ACTION terminals (collect/stream) —
+        ``OSHDBDatabase.timeout(seconds)`` (``OSHDBDatabase.java:57-96``;
+        per-cell poll ``MapReducerJdbc.java:43-49``). Exceeding it
+        cancels the query's whole Spark job group and raises
+        ``OSHDBTimeoutException``; ``timeout(None)`` is clearTimeout().
+        Plan-building terminals that return a DataFrame are lazy and
+        unaffected — apply the limit where the jobs actually run."""
+        return self._with(timeout_s=None if seconds is None else float(seconds))
 
     # -- aggregation wrap (MapReducer.java:760-927) ------------------------
 
@@ -234,11 +245,23 @@ class _BaseView:
         return vector_tiles(self.dataframe(), zoom, feature_col)
 
     def collect(self) -> list:
-        return self.dataframe().collect()
+        df = self.dataframe()
+        if self._s.timeout_s is None:
+            return df.collect()
+        from oshdb_spark.runtime import run_with_timeout
+
+        return run_with_timeout(
+            df.sparkSession, self._s.timeout_s, df.collect, desc="collect"
+        )
 
     def stream(self):
         """Lazily iterate rows (stream() analog, MapReducer.java:1465)."""
-        return self.dataframe().toLocalIterator()
+        df = self.dataframe()
+        if self._s.timeout_s is None:
+            return df.toLocalIterator()
+        from oshdb_spark.runtime import stream_with_timeout
+
+        return stream_with_timeout(df, self._s.timeout_s, desc="stream")
 
 
 class SnapshotView(_BaseView):

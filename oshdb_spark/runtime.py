@@ -42,13 +42,136 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
-from collections.abc import Callable
+import uuid
+from collections.abc import Callable, Iterator
+from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_DIR = "_lineage"
+
+
+# ---------------------------------------------------------------------------
+# query timeout / cancellation (OSHDBDatabase.timeout, SURVEY §4 #17)
+# ---------------------------------------------------------------------------
+
+class OSHDBTimeoutException(Exception):
+    """A query exceeded its configured time limit — the analog of the
+    reference's ``OSHDBTimeoutException`` thrown from the per-cell
+    ``isActive()`` poll (``MapReducerJdbc.java:43-49``; cancelable
+    kernels at ``Kernels.java:22-34``; user surface
+    ``OSHDBDatabase.timeout(seconds)``, ``OSHDBDatabase.java:57-96``).
+
+    The Spark-native mechanism is stronger than the reference's poll:
+    the watchdog cancels the whole JOB GROUP (``cancelJobGroup`` with
+    ``interruptOnCancel``), so running tasks on every executor are
+    interrupted instead of waiting for the next cell boundary."""
+
+
+def run_with_timeout(
+    spark: SparkSession,
+    seconds: float,
+    action: Callable[[], Any],
+    desc: str = "oshdb query",
+) -> Any:
+    """Run a driver-side Spark ACTION under a wall-clock limit.
+
+    All jobs submitted by ``action`` (which must run in this thread —
+    Spark job groups are thread-local) join a fresh job group; a daemon
+    watchdog timer cancels the group when the limit expires, and the
+    interrupted action is re-raised as :class:`OSHDBTimeoutException`.
+    The session stays usable afterwards — only this group is cancelled,
+    exactly like the reference where a timed-out query doesn't poison
+    the OSHDBDatabase.
+    """
+    sc = spark.sparkContext
+    gid = f"oshdb-timeout-{uuid.uuid4().hex[:12]}"
+    expired = threading.Event()
+
+    def _cancel() -> None:
+        expired.set()
+        sc.cancelJobGroup(gid)
+
+    sc.setJobGroup(gid, desc, interruptOnCancel=True)
+    timer = threading.Timer(seconds, _cancel)
+    timer.daemon = True
+    timer.start()
+    try:
+        result = action()
+        if expired.is_set():
+            # the cancel raced a just-finished job; the contract is
+            # deterministic: past the limit means timeout
+            raise OSHDBTimeoutException(f"{desc!r} exceeded {seconds}s")
+        return result
+    except OSHDBTimeoutException:
+        raise
+    except Exception as e:  # Py4JJavaError "cancelled because of user request"
+        if expired.is_set():
+            raise OSHDBTimeoutException(f"{desc!r} exceeded {seconds}s") from e
+        raise
+    finally:
+        timer.cancel()
+        # leave no thread-local group behind for later queries
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+        sc.setLocalProperty("spark.job.interruptOnCancel", None)
+
+
+def stream_with_timeout(
+    df: DataFrame, seconds: float, desc: str = "oshdb stream"
+) -> Iterator:
+    """``toLocalIterator`` under the same job-group watchdog.
+
+    The stream() terminal launches jobs incrementally as the iterator
+    is consumed, so the group must stay armed across the WHOLE
+    consumption, not just iterator creation — hence a generator, not a
+    context manager. Mirrors the reference's behavior where the
+    timeout poll runs inside the streaming kernels too
+    (``Kernels.java:190-301``)."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    gid = f"oshdb-timeout-{uuid.uuid4().hex[:12]}"
+    expired = threading.Event()
+
+    def _cancel() -> None:
+        expired.set()
+        sc.cancelJobGroup(gid)
+
+    sc.setJobGroup(gid, desc, interruptOnCancel=True)
+    timer = threading.Timer(seconds, _cancel)
+    timer.daemon = True
+    timer.start()
+    try:
+        # iterator creation itself may launch the first job (and be the
+        # thing that gets cancelled) — guard it like every next()
+        try:
+            it = df.toLocalIterator()
+        except Exception as e:
+            if expired.is_set():
+                raise OSHDBTimeoutException(f"{desc!r} exceeded {seconds}s") from e
+            raise
+        while True:
+            try:
+                row = next(it)
+            except StopIteration:
+                return
+            except Exception as e:
+                if expired.is_set():
+                    raise OSHDBTimeoutException(
+                        f"{desc!r} exceeded {seconds}s"
+                    ) from e
+                raise
+            if expired.is_set():
+                raise OSHDBTimeoutException(f"{desc!r} exceeded {seconds}s")
+            yield row
+    finally:
+        timer.cancel()
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+        sc.setLocalProperty("spark.job.interruptOnCancel", None)
 
 
 # ---------------------------------------------------------------------------

@@ -231,3 +231,107 @@ def test_doc_pipeline_decides_every_exact_duplicate(spark, sf_dir):
     # originals all keep (no near-dups among the distinct 50)
     orig_out = out[out.doc_id < 100000]
     assert orig_out["keep"].sum() == orig_out["cluster_id"].nunique()
+
+
+# ---------------------------------------------------------------------------
+# query timeout / cancellation (OSHDBDatabase.timeout, SURVEY §4 #17)
+# ---------------------------------------------------------------------------
+
+def _slow_frame(spark, n_parts: int = 8, sleep_s: float = 4.0):
+    """A frame whose jobs sleep inside executor tasks — test-only: the
+    sleep stands in for a genuinely expensive stage, so cancellation
+    (not completion) must be what ends the query."""
+    import pandas as pd
+
+    def _sleeper(batches):
+        import time as _t
+
+        for b in batches:
+            _t.sleep(sleep_s)
+            yield pd.DataFrame({"id": b["id"]})
+
+    return (
+        spark.range(n_parts).repartition(n_parts).mapInPandas(_sleeper, "id long")
+    )
+
+
+def test_run_with_timeout_cancels_and_raises(spark):
+    import time
+
+    from oshdb_spark.runtime import OSHDBTimeoutException, run_with_timeout
+
+    df = _slow_frame(spark, n_parts=8, sleep_s=4.0)
+    t0 = time.perf_counter()
+    with pytest.raises(OSHDBTimeoutException):
+        run_with_timeout(spark, 1.5, df.collect, desc="slow collect")
+    elapsed = time.perf_counter() - t0
+    # 8 partitions x 4 s on local[8] would be ~4 s if run to completion;
+    # cancellation must beat that by a clear margin
+    assert elapsed < 3.5
+
+
+def test_run_with_timeout_session_stays_usable(spark):
+    from oshdb_spark.runtime import OSHDBTimeoutException, run_with_timeout
+
+    df = _slow_frame(spark, n_parts=8, sleep_s=4.0)
+    with pytest.raises(OSHDBTimeoutException):
+        run_with_timeout(spark, 1.0, df.collect)
+    # only the cancelled job group died; the session runs new jobs
+    assert spark.range(10).count() == 10
+
+
+def test_run_with_timeout_passes_fast_action_through(spark):
+    from oshdb_spark.runtime import run_with_timeout
+
+    got = run_with_timeout(spark, 30.0, lambda: spark.range(5).count())
+    assert got == 5
+
+
+def test_builder_timeout_surface(spark, sf_dir):
+    """The fluent .timeout(seconds) analog of OSHDBDatabase.timeout
+    (OSHDBDatabase.java:57-96): a generous limit passes results
+    through; a tiny limit on a deliberately slow mapper stage cancels
+    the job group and raises; timeout(None) is clearTimeout()."""
+    import time
+
+    from oshdb_spark.plans.builder import SnapshotView
+    from oshdb_spark.runtime import OSHDBTimeoutException
+    from oshdb_spark.sources.versions import derive_versions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = derive_versions(ev)
+    base = SnapshotView.on(v).timestamps([1704500000]).aggregate_by_timestamp()
+    rows = base.timeout(120.0).collect()
+    assert rows and rows[0] is not None
+
+    def slow_mapper(df):
+        import pandas as pd  # noqa: F401 (arrow batches are pandas)
+
+        schema = df.schema
+
+        def _sleeper(batches):
+            import time as _t
+
+            for b in batches:
+                _t.sleep(5.0)
+                yield b
+
+        return df.repartition(8).mapInPandas(_sleeper, schema)
+
+    slow = base.map(slow_mapper).timeout(1.0)
+    t0 = time.perf_counter()
+    with pytest.raises(OSHDBTimeoutException):
+        slow.collect()
+    assert time.perf_counter() - t0 < 4.5
+    # clearTimeout(): same plan, no limit -> completes
+    assert base.map(slow_mapper).timeout(1.0).timeout(None)._s.timeout_s is None
+
+
+def test_stream_with_timeout_cancels_mid_consumption(spark):
+    from oshdb_spark.runtime import OSHDBTimeoutException, stream_with_timeout
+
+    df = _slow_frame(spark, n_parts=8, sleep_s=4.0)
+    with pytest.raises(OSHDBTimeoutException):
+        for _ in stream_with_timeout(df, 1.5, desc="slow stream"):
+            pass
+    assert spark.range(3).count() == 3
