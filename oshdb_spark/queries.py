@@ -2402,7 +2402,9 @@ REL_SLOT_MOD = 3  # slot s of relation r is a member in version v iff
 #                   across versions (the interval-validity fixture)
 
 
-def _member_window_per_ts(vers: DataFrame, child_ts: DataFrame, pid: str) -> DataFrame:
+def _member_window_per_ts(
+    vers: DataFrame, child_ts: DataFrame, pid: str, per_slot: bool = False
+) -> DataFrame:
     """The as-of member-window resolution shared by the relation- and
     way-level child-induced modification gates
     (``OSHEntities.java:315-478``): given one row per (parent version,
@@ -2423,6 +2425,10 @@ def _member_window_per_ts(vers: DataFrame, child_ts: DataFrame, pid: str) -> Dat
     instant falls inside an ACTIVE membership window; ``qm`` = inside a
     visible version's window regardless of slot activity (``qm AND NOT
     qa`` counts what the windowing excludes — the non-vacuity surface).
+    With ``per_slot=True`` the qualification keeps the member-slot
+    ordinal — ``(pid, m_ord, ts, qa, qm)`` — for callers that need to
+    know WHICH member qualified (contributor attribution resolves the
+    first active slot in member order, ``OSMContribution.java:211-257``).
     """
     # collapse same-timestamp versions into one timeline group: every
     # non-final version of a group owns a zero-length closed interval
@@ -2496,11 +2502,12 @@ def _member_window_per_ts(vers: DataFrame, child_ts: DataFrame, pid: str) -> Dat
         boundary, F.col("asof.any_visible") | F.col("asof.prev_visible")
     ).otherwise(F.col("asof.last_visible"))
     inst = resolved.select(
-        pid, F.col("o_ts").alias("ts"), qual_active.alias("qa"),
+        pid, "m_ord", F.col("o_ts").alias("ts"), qual_active.alias("qa"),
         qual_member.alias("qm"),
     )
+    keys = [pid, "m_ord", "ts"] if per_slot else [pid, "ts"]
     return (
-        inst.groupBy(pid, "ts")
+        inst.groupBy(*keys)
         .agg(F.max("qa").alias("qa"), F.max("qm").alias("qm"))
         .localCheckpoint(eager=False)
     )
@@ -2981,6 +2988,172 @@ def o_relation_contributors() -> str:
            CAST(count(DISTINCT contrib_uid) AS BIGINT) AS n_contributors,
            CAST(sum(contrib_uid) AS BIGINT) AS uid_sum
     FROM allc GROUP BY rel_id
+    """
+
+
+def q_relation_contributors_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contributor attribution THROUGH membership windows — the full
+    ``getContributorUserId`` semantics (``OSMContribution.java:211-257``
+    resolving members via ``getMemberEntities(ts)``,
+    ``OSMRelation.java:30-40``): a member way's edit is a relation
+    contribution only while the slot is ACTIVE at that instant
+    (version-varying membership, ``REL_SLOT_MOD``), and the instant is
+    attributed to the FIRST member in member order that qualifies.
+    Own version instants (plus the visible->invisible transition) win
+    over child-induced ones and carry the relation version's editor.
+    This closes the gap the attribution-only sibling
+    (``relation_contributors``) documents: there the member list is
+    version-independent; here membership churns and the windowing
+    changes which instants exist AND who they attribute to.
+
+    Spark resolves slot activity with the shared as-of machinery
+    (``_member_window_per_ts(per_slot=True)``); the oracle re-derives
+    it from the naive per-version interval join — a different
+    algorithm, so the gate checks semantics, not the plan.
+    ``n_windowed_out`` (instants excluded versus always-member
+    semantics) is nonzero by construction, so vacuously-permissive
+    windowing fails the hash; ``uid_sum`` fails if any single
+    attribution picks the wrong editor."""
+    from oshdb_spark.sources.relations import derive_relations, member_way_ids_col
+    from oshdb_spark.sources.ways import WAY_MOD, derive_ways
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rels = derive_relations(ev)
+    wv = Window.partitionBy("rel_id").orderBy("version")
+    # own instants feed the anti-join AND the final union (shared
+    # subtree -> localCheckpoint, CLAUDE.md invariant)
+    own = (
+        rels.withColumn("pv", F.lag("visible").over(wv))
+        .filter(F.col("visible") | F.coalesce(F.col("pv"), F.lit(False)))
+        .select("rel_id", "ts", "uid")
+        .localCheckpoint(eager=False)
+    )
+
+    vers = rels.select(
+        "rel_id",
+        "version",
+        "ts",
+        "visible",
+        F.posexplode(member_way_ids_col(WAY_MOD)).alias("m_ord", "child_id"),
+    ).withColumn(
+        "active",
+        F.col("visible")
+        & ((F.col("rel_id") + F.col("version") + F.col("m_ord")) % REL_SLOT_MOD != 0),
+    )
+    ways = derive_ways(ev)
+    way_ts = ways.select(F.col("way_id").alias("child_id"), F.col("ts").alias("c_ts"))
+    per_slot = _member_window_per_ts(vers, way_ts, "rel_id", per_slot=True)
+
+    # attribution: qualified slots recover their way + editor by
+    # (slot -> child_id) then (child_id, ts) -> uid; first-in-member-
+    # order pick is a row_number over the slot ordinal (way_id + uid
+    # break the theoretical duplicate-timestamp tie identically on
+    # both engines)
+    slots = vers.select("rel_id", "m_ord", "child_id").distinct()
+    way_uid = ways.select(F.col("way_id").alias("child_id"), "ts", "uid")
+    cand = (
+        per_slot.filter("qa")
+        .join(slots, ["rel_id", "m_ord"])
+        .join(way_uid, ["child_id", "ts"])
+        .join(own.select("rel_id", "ts"), ["rel_id", "ts"], "left_anti")
+    )
+    wpick = Window.partitionBy("rel_id", "ts").orderBy("m_ord", "child_id", "uid")
+    attr = (
+        cand.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select("rel_id", "ts", "uid")
+    )
+    allc = own.unionByName(attr)
+
+    # non-vacuity: member-visible instants the activity windowing
+    # excluded outright (no slot active, not an own instant)
+    per_ts = per_slot.groupBy("rel_id", "ts").agg(
+        F.max("qa").alias("qa"), F.max("qm").alias("qm")
+    )
+    excl = (
+        per_ts.filter(F.col("qm") & ~F.col("qa"))
+        .join(own.select("rel_id", "ts"), ["rel_id", "ts"], "left_anti")
+        .groupBy("rel_id")
+        .agg(F.count(F.lit(1)).alias("n_windowed_out"))
+    )
+    agg = allc.groupBy("rel_id").agg(
+        F.count(F.lit(1)).alias("n_contribs"),
+        F.count_distinct("uid").alias("n_contributors"),
+        F.sum("uid").cast("long").alias("uid_sum"),
+    )
+    return agg.join(excl, "rel_id", "left").select(
+        "rel_id",
+        "n_contribs",
+        "n_contributors",
+        "uid_sum",
+        F.coalesce("n_windowed_out", F.lit(0)).alias("n_windowed_out"),
+    )
+
+
+def o_relation_contributors_windowed() -> str:
+    from oshdb_spark.sources.relations import member_way_ids_sql, relations_sql
+    from oshdb_spark.sources.ways import WAY_MOD, ways_sql
+
+    formulas = ", ".join(member_way_ids_sql(WAY_MOD))
+    ordinals = ", ".join(str(i) for i in range(len(member_way_ids_sql(WAY_MOD))))
+    return f"""WITH r AS ({relations_sql()}), wy AS ({ways_sql()}),
+    own AS (
+      SELECT rel_id, ts, uid FROM (
+        SELECT rel_id, ts, uid, visible, lag(visible) OVER win AS pv
+        FROM r WINDOW win AS (PARTITION BY rel_id ORDER BY version))
+      WHERE visible OR coalesce(pv, FALSE)
+    ),
+    refs AS (
+      SELECT rel_id, version, ts, valid_to, visible, u.m_ord, u.way_id
+      FROM r, LATERAL (
+        SELECT unnest([{ordinals}]) AS m_ord, unnest([{formulas}]) AS way_id
+      ) u
+    ),
+    -- naive per-version interval join: each way instant against every
+    -- covering validity interval [ts, valid_to] (closed upper bound)
+    probe AS (
+      SELECT a.rel_id, a.m_ord, a.way_id, n.ts, n.uid,
+             bool_or(a.visible AND
+                     (a.rel_id + a.version + a.m_ord) % {REL_SLOT_MOD} <> 0)
+               AS qa,
+             bool_or(a.visible) AS qm
+      FROM refs a JOIN wy n ON n.way_id = a.way_id
+      WHERE n.ts >= a.ts AND (a.valid_to IS NULL OR n.ts <= a.valid_to)
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    attr AS (
+      SELECT rel_id, ts, uid FROM (
+        SELECT p.rel_id, p.ts, p.uid,
+               row_number() OVER (PARTITION BY p.rel_id, p.ts
+                                  ORDER BY p.m_ord, p.way_id, p.uid) AS rn
+        FROM probe p
+        WHERE p.qa AND NOT EXISTS (
+          SELECT 1 FROM own o WHERE o.rel_id = p.rel_id AND o.ts = p.ts)
+      ) WHERE rn = 1
+    ),
+    allc AS (
+      SELECT rel_id, uid FROM own
+      UNION ALL SELECT rel_id, uid FROM attr
+    ),
+    excl AS (
+      SELECT rel_id, CAST(count(*) AS BIGINT) AS n_windowed_out FROM (
+        SELECT rel_id, ts FROM probe p
+        GROUP BY rel_id, ts
+        HAVING bool_or(qm) AND NOT bool_or(qa)
+           AND NOT EXISTS (
+             SELECT 1 FROM own o WHERE o.rel_id = p.rel_id AND o.ts = p.ts)
+      ) GROUP BY 1
+    ),
+    agg AS (
+      SELECT rel_id,
+             CAST(count(*) AS BIGINT) AS n_contribs,
+             CAST(count(DISTINCT uid) AS BIGINT) AS n_contributors,
+             CAST(sum(uid) AS BIGINT) AS uid_sum
+      FROM allc GROUP BY 1
+    )
+    SELECT a.rel_id, a.n_contribs, a.n_contributors, a.uid_sum,
+           coalesce(e.n_windowed_out, 0) AS n_windowed_out
+    FROM agg a LEFT JOIN excl e ON e.rel_id = a.rel_id
     """
 
 
@@ -4092,11 +4265,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "relation_member_windows": q_relation_member_windows,
     "contrib_len_delta": q_contrib_len_delta,
     "way_member_mod_ts": q_way_member_mod_ts,
+    "relation_contributors_windowed": q_relation_contributors_windowed,
     # -- 50-window: core catalog ----------------------------------------
     # (snapshot_count_by_ts rotated to the tail for way_member_mod_ts:
     # triple-green r1-r3 and its EXACT oracle stays in-window through
-    # docs_roundtrip_snapshot / docs_prefiltered_snapshot)
-    "snapshot_bbox_count_by_ts": q_snapshot_bbox_count_by_ts,
+    # docs_roundtrip_snapshot / docs_prefiltered_snapshot;
+    # snapshot_bbox_count_by_ts rotated for relation_contributors_windowed
+    # on the same grounds — bbox filtering stays in-window through
+    # agg_by_region / bbox_region_clipped_area / pip_diamond_counts)
     "contrib_type_counts": q_contrib_type_counts,
     "contrib_filtered": q_contrib_filtered,
     "agg_zerofill_ts_tagv": q_agg_zerofill_ts_tagv,
@@ -4134,6 +4310,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "relation_route_length": q_relation_route_length,
     # -- tail: multi-round green, stable, oracle-tested locally ---------
     "snapshot_count_by_ts": q_snapshot_count_by_ts,
+    "snapshot_bbox_count_by_ts": q_snapshot_bbox_count_by_ts,
     "rollup_ts_type": q_rollup_ts_type,
     "uniq_users_by_building": q_uniq_users_by_building,
     "lang_pred_counts": q_lang_pred_counts,
@@ -4225,6 +4402,7 @@ ORACLES: dict[str, str] = {
     "relation_contributors": o_relation_contributors(),
     "relation_member_windows": o_relation_member_windows(),
     "way_member_mod_ts": o_way_member_mod_ts(),
+    "relation_contributors_windowed": o_relation_contributors_windowed(),
     "contrib_len_delta": o_contrib_len_delta(),
     "pricing_summary": o_pricing_summary(),
     "revenue_by_nation": o_revenue_by_nation(),

@@ -59,3 +59,29 @@ def test_way_member_mod_ts_exceeds_own_instants(spark, sf_dir):
     joined = got.to_frame().join(own.to_frame())
     assert (joined["n_mod_ts"] >= 1).all()
     assert (joined["n_mod_ts"] > joined["n_own"]).any()
+
+
+def test_windowed_attribution_differs_from_always_member(spark, sf_dir):
+    """The windowing must change the answer: some member-visible
+    instants are excluded outright (n_windowed_out > 0, varying per
+    relation), and at least one relation's contribution count or
+    uid_sum differs from the attribution-only sibling (which treats
+    membership as version-independent) — otherwise the gate would be
+    reducible to relation_contributors."""
+    from oshdb_spark.queries import (
+        q_relation_contributors,
+        q_relation_contributors_windowed,
+    )
+
+    w = q_relation_contributors_windowed(spark, sf_dir).toPandas().set_index("rel_id")
+    assert w["n_windowed_out"].sum() > 0
+    assert w["n_windowed_out"].nunique() > 1
+    assert (w["n_contribs"] > 0).all()
+
+    plain = q_relation_contributors(spark, sf_dir).toPandas().set_index("rel_id")
+    j = w.join(plain, lsuffix="_w", rsuffix="_p")
+    assert (
+        (j["n_contribs_w"] != j["n_contribs_p"]) | (j["uid_sum_w"] != j["uid_sum_p"])
+    ).any()
+    # windowing only ever REMOVES child instants relative to always-member
+    assert (j["n_contribs_w"] <= j["n_contribs_p"]).all()
