@@ -295,14 +295,15 @@ def main() -> None:
         }
         eff = best["eff"]
         os.makedirs("BENCH", exist_ok=True)
-        # preserve the per-query catalog-suite section (appended by the
-        # round workflow) — the scaling rewrite owns only the header
+        # preserve EVERY later section (dedup scaling, catalog suite) —
+        # the scaling rewrite owns only the header, i.e. everything
+        # before the first '## ' heading
         suite_tail = ""
         try:
             old = open("BENCH/BASELINE.md").read()
-            idx = old.find("## Catalog suite")
+            idx = old.find("\n## ")
             if idx >= 0:
-                suite_tail = "\n" + old[idx:]
+                suite_tail = "\n" + old[idx + 1 :]
         except OSError:
             pass
         with open("BENCH/BASELINE.md", "w") as f:

@@ -85,3 +85,86 @@ def test_windowed_attribution_differs_from_always_member(spark, sf_dir):
     ).any()
     # windowing only ever REMOVES child instants relative to always-member
     assert (j["n_contribs_w"] <= j["n_contribs_p"]).all()
+
+
+def test_member_window_random_histories_match_naive_oracle(spark):
+    """Adversarial randomized check of the as-of member-window merge
+    against a pure-Python NAIVE per-version interval walk (the
+    reference's ``current <= toTs`` algorithm, ``OSHEntities.java:
+    315-478``): 120 random parent histories with duplicate version
+    timestamps, invisible runs, churny slot activity, and child
+    instants planted exactly ON version boundaries and one off either
+    side. Catches closed-bound / same-timestamp-group regressions the
+    two fixed fixtures can't."""
+    import numpy as np
+
+    from oshdb_spark.queries import _member_window_per_ts
+
+    rng = np.random.default_rng(20260817)
+    N_PARENT, SLOTS = 120, 3
+    vers_rows, child_rows = [], []
+    expected = {}  # (pid, ts) -> [qa, qm]
+
+    for p in range(N_PARENT):
+        k = int(rng.integers(2, 7))
+        # duplicate timestamps allowed (same-changeset uploads); version
+        # numbers assigned in sorted-ts order like the derive functions
+        ts = np.sort(rng.choice(np.arange(100, 160), size=k, replace=True))
+        visible = rng.random(k) > 0.25
+        for s in range(SLOTS):
+            child_id = p * SLOTS + s
+            active = (rng.random(k) > 0.35) & visible
+            for v in range(k):
+                vers_rows.append(
+                    (p, s, child_id, v + 1, int(ts[v]),
+                     bool(visible[v]), bool(active[v]))
+                )
+            # child instants: every boundary, one off either side, noise
+            cand = set()
+            for v in range(k):
+                cand |= {int(ts[v]) - 1, int(ts[v]), int(ts[v]) + 1}
+            cand |= {int(x) for x in rng.choice(np.arange(95, 165), size=3)}
+            # naive walk: closed validity interval per version
+            # [ts_v, ts_{v+1}] (open-ended for the newest)
+            for t in sorted(cand):
+                child_rows.append((child_id, t))
+                qa = qm = False
+                for v in range(k):
+                    lo = int(ts[v])
+                    hi = int(ts[v + 1]) if v + 1 < k else None
+                    if t >= lo and (hi is None or t <= hi):
+                        qa = qa or bool(active[v])
+                        qm = qm or bool(visible[v])
+                if t >= int(ts[0]):
+                    key = (p, t)
+                    got = expected.setdefault(key, [False, False])
+                    got[0] = got[0] or qa
+                    got[1] = got[1] or qm
+
+    vers_df = spark.createDataFrame(
+        vers_rows,
+        "pid long, m_ord int, child_id long, version int, ts long,"
+        " visible boolean, active boolean",
+    )
+    child_df = spark.createDataFrame(child_rows, "child_id long, c_ts long")
+
+    got = {
+        (r["pid"], r["ts"]): (r["qa"], r["qm"])
+        for r in _member_window_per_ts(vers_df, child_df, "pid").collect()
+    }
+    assert set(got) == set(expected)
+    mismatches = [
+        (k, got[k], tuple(expected[k])) for k in expected
+        if got[k] != tuple(expected[k])
+    ]
+    assert not mismatches, mismatches[:10]
+
+    # per_slot granularity must aggregate to the same per-parent answer
+    slot = _member_window_per_ts(vers_df, child_df, "pid", per_slot=True)
+    agg = {
+        (r["pid"], r["ts"]): (r["qa"], r["qm"])
+        for r in slot.groupBy("pid", "ts")
+        .agg(F.max("qa").alias("qa"), F.max("qm").alias("qm"))
+        .collect()
+    }
+    assert agg == got
