@@ -2534,6 +2534,51 @@ def _member_window_per_ts(
     )
 
 
+# slot-level qualification frame for the relation<-way member-window
+# machinery, once per (session, input dir): the interval-validity gate
+# and the windowed-attribution gate consume the IDENTICAL frame (the
+# per-parent answer is its aggregation — pinned by the randomized
+# oracle test in tests/test_member_windows.py), so it joins the
+# resident-frame family (_MEMBER_FRAME_CACHE / _WAY_FRAME_CACHE).
+_RELWIN_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _relation_slot_windows(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(vers, per_slot): the per-(relation, slot) version timeline with
+    activity flags, and its checkpointed slot-level as-of qualification
+    ``(rel_id, m_ord, ts, qa, qm)``."""
+    from oshdb_spark.sources.relations import derive_relations, member_way_ids_col
+    from oshdb_spark.sources.ways import WAY_MOD, derive_ways
+
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    got = _RELWIN_CACHE.get(key)
+    if got is not None:
+        return got
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # version timeline per (relation, member slot), with the slot's
+    # activity in this version (the closed upper bound consults the
+    # predecessor at exact boundaries, inside the shared machinery)
+    vers = derive_relations(ev).select(
+        "rel_id",
+        "version",
+        "ts",
+        "visible",
+        F.posexplode(member_way_ids_col(WAY_MOD)).alias("m_ord", "child_id"),
+    ).withColumn(
+        "active",
+        F.col("visible")
+        & ((F.col("rel_id") + F.col("version") + F.col("m_ord")) % REL_SLOT_MOD != 0),
+    )
+    way_ts = derive_ways(ev).select(
+        F.col("way_id").alias("child_id"), F.col("ts").alias("c_ts")
+    )
+    per_slot = _member_window_per_ts(vers, way_ts, "rel_id", per_slot=True)
+    _RELWIN_CACHE[key] = (vers, per_slot)
+    return vers, per_slot
+
+
 def q_relation_member_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Member-reference INTERVAL VALIDITY
     (``OSHEntities.java:395-478``): when a relation's member list
@@ -2550,14 +2595,14 @@ def q_relation_member_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The Spark side resolves each way instant AGAINST the relation's
     version timeline via the shared ``_member_window_per_ts`` as-of
-    machinery. The oracle derives the same answer from the naive
-    per-version interval join — a genuinely different algorithm, so
-    the gate checks the semantics, not the plan. ``n_windowed_out``
-    counts the instants the membership windowing excludes versus
-    always-member semantics — nonzero by construction, so a
-    vacuously-permissive window fails the hash."""
-    from oshdb_spark.sources.relations import derive_relations, member_way_ids_col
-    from oshdb_spark.sources.ways import WAY_MOD, derive_ways
+    machinery (the session-resident slot frame,
+    ``_relation_slot_windows``). The oracle derives the same answer
+    from the naive per-version interval join — a genuinely different
+    algorithm, so the gate checks the semantics, not the plan.
+    ``n_windowed_out`` counts the instants the membership windowing
+    excludes versus always-member semantics — nonzero by construction,
+    so a vacuously-permissive window fails the hash."""
+    from oshdb_spark.sources.relations import derive_relations
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     rels = derive_relations(ev)
@@ -2568,24 +2613,10 @@ def q_relation_member_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rel_id", "ts")
     )
 
-    # version timeline per (relation, member slot), with the slot's
-    # activity in this version (the closed upper bound consults the
-    # predecessor at exact boundaries, inside the shared machinery)
-    vers = rels.select(
-        "rel_id",
-        "version",
-        "ts",
-        "visible",
-        F.posexplode(member_way_ids_col(WAY_MOD)).alias("m_ord", "child_id"),
-    ).withColumn(
-        "active",
-        F.col("visible")
-        & ((F.col("rel_id") + F.col("version") + F.col("m_ord")) % REL_SLOT_MOD != 0),
+    _, per_slot = _relation_slot_windows(spark, sf_dir)
+    per_ts = per_slot.groupBy("rel_id", "ts").agg(
+        F.max("qa").alias("qa"), F.max("qm").alias("qm")
     )
-    way_ts = derive_ways(ev).select(
-        F.col("way_id").alias("child_id"), F.col("ts").alias("c_ts")
-    )
-    per_ts = _member_window_per_ts(vers, way_ts, "rel_id")
     qual = per_ts.filter("qa").select("rel_id", "ts")
     counts = per_ts.groupBy("rel_id").agg(
         F.sum(F.col("qa").cast("long")).alias("n_child_in_window"),
@@ -3035,8 +3066,8 @@ def q_relation_contributors_windowed(spark: SparkSession, sf_dir: str) -> DataFr
     semantics) is nonzero by construction, so vacuously-permissive
     windowing fails the hash; ``uid_sum`` fails if any single
     attribution picks the wrong editor."""
-    from oshdb_spark.sources.relations import derive_relations, member_way_ids_col
-    from oshdb_spark.sources.ways import WAY_MOD, derive_ways
+    from oshdb_spark.sources.relations import derive_relations
+    from oshdb_spark.sources.ways import derive_ways
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     rels = derive_relations(ev)
@@ -3050,20 +3081,8 @@ def q_relation_contributors_windowed(spark: SparkSession, sf_dir: str) -> DataFr
         .localCheckpoint(eager=False)
     )
 
-    vers = rels.select(
-        "rel_id",
-        "version",
-        "ts",
-        "visible",
-        F.posexplode(member_way_ids_col(WAY_MOD)).alias("m_ord", "child_id"),
-    ).withColumn(
-        "active",
-        F.col("visible")
-        & ((F.col("rel_id") + F.col("version") + F.col("m_ord")) % REL_SLOT_MOD != 0),
-    )
     ways = derive_ways(ev)
-    way_ts = ways.select(F.col("way_id").alias("child_id"), F.col("ts").alias("c_ts"))
-    per_slot = _member_window_per_ts(vers, way_ts, "rel_id", per_slot=True)
+    vers, per_slot = _relation_slot_windows(spark, sf_dir)
 
     # attribution: qualified slots recover their way + editor by
     # (slot -> child_id) then (child_id, ts) -> uid; first-in-member-
