@@ -25,6 +25,11 @@ the Arrow MinHash kernel is the wrong job for per-core accounting);
 writes the "## Dedup pipeline scaling" section of BENCH/BASELINE.md,
 leaving the tile-join header and catalog sections untouched.
 
+--scaling-asof: the third job class — the member-window as-of merge
+(SURVEY §2.4, sort/window dominated, pure JVM) with the parent/child
+universes scaled with the replicas; writes the "## As-of window
+scaling" section, leaving every other section untouched.
+
 Each query is forced with a noop datasource write (full materialization,
 no driver collect).
 """
@@ -119,6 +124,91 @@ def _cluster_session(nexec: int, shuffle_parts: int, shm: str):
         .config("spark.sql.adaptive.enabled", "false")
         .config("spark.local.dir", shm)
         .getOrCreate()
+    )
+
+
+def _scaling_asof() -> None:
+    """N vs 4N executors over the member-window as-of job; appends/
+    replaces the '## As-of window scaling' section of BENCH/BASELINE.md."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    replicas = int(os.environ.get("SPARK_GRAFT_ASOF_REPLICAS", "144"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from oshdb_spark.benchjob import asof_scale_job
+    from oshdb_spark.session import ensure_shipped
+
+    shm = "/dev/shm/oshdb-bench-tmp"
+    os.makedirs(shm, exist_ok=True)
+
+    def one_run(nexec: int) -> tuple[float, int]:
+        spark = _cluster_session(nexec, nexec * 6, shm)
+        ensure_shipped(spark)
+        asof_scale_job(spark, sf_dir, replicas=2)  # warmup: JIT + workers
+        t0 = time.perf_counter()
+        rows = asof_scale_job(spark, sf_dir, replicas=replicas)
+        secs = time.perf_counter() - t0
+        spark.stop()
+        return secs, rows
+
+    pairs = []
+    rows = 0
+    for _ in range(repeats):
+        t1, rows = one_run(1)
+        t4, _ = one_run(4)
+        pairs.append({"t1": round(t1, 3), "t4": round(t4, 3),
+                      "eff": round((t1 / t4) / 4.0, 3)})
+    best = min(pairs, key=lambda p: p["t1"] + p["t4"])
+    eff = best["eff"]
+    section = (
+        "## As-of window scaling\n\n"
+        f"Same N vs 4N methodology (separate 1-core executor JVMs, "
+        f"interleaved pairs, least-disturbed pair) over the member-window "
+        f"AS-OF job — the engine's temporal heart (SURVEY §2.4): events "
+        f"x{replicas} replicas -> relation/way histories with the "
+        "parent/child universes scaled WITH the data (window partitions "
+        "multiply instead of deepening) -> slot fan-out -> per-(parent, "
+        "slot) sort + window as-of merge -> hash aggregation. Pure JVM, "
+        "sort/window dominated — the third job class, complementing the "
+        "tile job (join + Arrow kernel) and the dedup job (equi-join).\n\n"
+        "| cluster | wall sec | instants+parents | rows/sec |\n"
+        "|---|---|---|---|\n"
+        f"| 1 executor x 1 core   | {best['t1']} | {rows} | "
+        f"{rows / best['t1']:.1f} |\n"
+        f"| 4 executors x 1 core  | {best['t4']} | {rows} | "
+        f"{rows / best['t4']:.1f} |\n\n"
+        f"**Scaling efficiency (N -> 4N executors)** = (T_1 / T_4) / 4 = "
+        f"**{eff:.3f}**.\n\n"
+        f"All interleaved pairs: {pairs}\n\n"
+    )
+    path = "BENCH/BASELINE.md"
+    os.makedirs("BENCH", exist_ok=True)
+    try:
+        old = open(path).read()
+    except OSError:
+        old = ""
+    start = old.find("## As-of window scaling")
+    if start >= 0:
+        nxt = old.find("\n## ", start + 1)
+        old = old[:start] + (old[nxt + 1:] if nxt >= 0 else "")
+    anchor = old.find("## Catalog suite")
+    if anchor >= 0:
+        new = old[:anchor] + section + old[anchor:]
+    else:
+        new = old + ("\n" if old and not old.endswith("\n") else "") + section
+    with open(path, "w") as f:
+        f.write(new)
+    print(
+        json.dumps(
+            {
+                "metric": "asof_job_n_vs_4n_executors",
+                "exec1_sec": best["t1"],
+                "exec4_sec": best["t4"],
+                "rows": rows,
+                "efficiency": round(eff, 3),
+                "pairs": pairs,
+                "sf": _sf_of(sf_dir),
+            }
+        )
     )
 
 
@@ -217,6 +307,10 @@ def main() -> None:
 
     if "--scaling-dedup" in sys.argv:
         _scaling_dedup()
+        return
+
+    if "--scaling-asof" in sys.argv:
+        _scaling_asof()
         return
 
     if "--scaling" in sys.argv:

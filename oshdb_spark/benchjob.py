@@ -110,6 +110,52 @@ def dedup_scale_job(spark: SparkSession, sf_dir: str, replicas: int = 24) -> int
     return n_pairs + n_docs
 
 
+def asof_scale_job(spark: SparkSession, sf_dir: str, replicas: int = 144) -> int:
+    """Third scaling job class: the member-window AS-OF machinery (the
+    temporal heart of the engine, SURVEY §2.4 / ``OSHEntities.java:
+    315-478``) over a replicated history — relation<-way child-induced
+    modification instants end-to-end. Stage mix: slot fan-out
+    (posexplode) -> per-(parent, slot) sort + two window passes ->
+    union-merge as-of resolution -> hash aggregations; pure JVM,
+    sort/window dominated — a genuinely different shape from the tile
+    job (join + Arrow kernel) and the dedup job (equi-join + token
+    windows). The parent/child universes scale WITH the replicas
+    (rel_mod/way_mod multiplied), so window partitions multiply instead
+    of deepening — the layout a real 100 TB history has, and the reason
+    the window shuffle scales.
+
+    Returns qualified + windowed-out instant counts plus parents seen
+    (the throughput numerator)."""
+    from oshdb_spark.queries import REL_SLOT_MOD, _member_window_per_ts
+    from oshdb_spark.sources.relations import derive_relations, member_way_ids_col
+    from oshdb_spark.sources.ways import derive_ways
+
+    ev = replicated_events(spark, sf_dir, replicas)
+    rel_mod, way_mod = 40 * replicas, 60 * replicas
+    rels = derive_relations(ev, rel_mod=rel_mod)
+    vers = rels.select(
+        "rel_id",
+        "version",
+        "ts",
+        "visible",
+        F.posexplode(member_way_ids_col(way_mod)).alias("m_ord", "child_id"),
+    ).withColumn(
+        "active",
+        F.col("visible")
+        & ((F.col("rel_id") + F.col("version") + F.col("m_ord")) % REL_SLOT_MOD != 0),
+    )
+    way_ts = derive_ways(ev, way_mod=way_mod).select(
+        F.col("way_id").alias("child_id"), F.col("ts").alias("c_ts")
+    )
+    per_ts = _member_window_per_ts(vers, way_ts, "rel_id")
+    row = per_ts.agg(
+        F.count(F.lit(1)).alias("n_instants"),
+        F.sum(F.col("qa").cast("long")).alias("n_qualified"),
+        F.count_distinct("rel_id").alias("n_parents"),
+    ).collect()[0]
+    return int(row["n_instants"]) + int(row["n_qualified"]) + int(row["n_parents"])
+
+
 def scale_job(spark: SparkSession, sf_dir: str, replicas: int = 16) -> int:
     """Returns the number of output rows (tiles + snapshot rows) —
     the 'tiles + join-output rows' throughput numerator."""

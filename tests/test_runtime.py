@@ -335,3 +335,17 @@ def test_stream_with_timeout_cancels_mid_consumption(spark):
         for _ in stream_with_timeout(df, 1.5, desc="slow stream"):
             pass
     assert spark.range(3).count() == 3
+
+
+def test_asof_scale_job_deterministic_and_scales_output(spark, sf_dir):
+    """The third scaling-job class (member-window as-of merge) is
+    deterministic (seeded purely by the input) and its output count
+    grows with the replica factor — the property the N vs 4N
+    measurement's fixed numerator relies on."""
+    from oshdb_spark.benchjob import asof_scale_job
+
+    a = asof_scale_job(spark, sf_dir, replicas=2)
+    b = asof_scale_job(spark, sf_dir, replicas=2)
+    assert a == b > 0
+    c = asof_scale_job(spark, sf_dir, replicas=4)
+    assert c > a
