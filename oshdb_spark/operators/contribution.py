@@ -33,13 +33,20 @@ CONTRIB_ORDER = ["CREATION", "TAG_CHANGE", "GEOMETRY_CHANGE", "DELETION"]
 
 
 def collapse_changesets(versions: DataFrame, entity_col: str = "entity_id") -> DataFrame:
-    """Keep only the last version of each (entity, changeset) group —
-    the changeset-collapsing rule (``OSHEntities.java:240-267``)."""
-    w = Window.partitionBy(entity_col, "changeset").orderBy(F.col("version").desc())
+    """Keep only the last version of each CONSECUTIVE same-changeset
+    run — the changeset-collapsing rule (``OSHEntities.java:240-267``:
+    the reference walks newest-first and keeps a timestamp iff its
+    changeset differs from the next-newer one, i.e. run-based, NOT
+    grouped globally). The distinction matters only if a changeset id
+    reappears non-consecutively in one entity's history — impossible in
+    real OSM (changesets close) but the faithful semantics keep every
+    version of the interrupted runs. One lead() window, no shuffle
+    beyond the entity partitioning every caller already has."""
+    w = Window.partitionBy(entity_col).orderBy("version")
     return (
-        versions.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        versions.withColumn("_next_cs", F.lead("changeset").over(w))
+        .filter(~F.col("changeset").eqNullSafe(F.col("_next_cs")))
+        .drop("_next_cs")
     )
 
 

@@ -103,3 +103,27 @@ def test_contribution_classifier_matches_naive_walk(spark, seed):
     assert set(got) == set(expected)
     mismatches = [(k, got[k], expected[k]) for k in expected if got[k] != expected[k]]
     assert not mismatches, mismatches[:10]
+
+
+def test_changeset_collapsing_is_run_based(spark):
+    """The reference keeps a version iff its changeset differs from the
+    NEXT version's (OSHEntities.java:255-264 newest-first walk) — an
+    interrupted run (A, B, A) keeps all three versions; grouping
+    globally by (entity, changeset) would wrongly drop the first A.
+    Consecutive runs still collapse to their last version."""
+    from oshdb_spark.operators.contribution import collapse_changesets
+
+    rows = [
+        # entity 1: interrupted run A, B, A -> all kept
+        (1, 1, 10, True, 100), (1, 2, 20, True, 200), (1, 3, 30, True, 100),
+        # entity 2: consecutive run A, A, B -> v2 and v3 kept
+        (2, 1, 10, True, 100), (2, 2, 20, True, 100), (2, 3, 30, True, 200),
+    ]
+    df = spark.createDataFrame(
+        rows, "entity_id long, version int, ts long, visible boolean, changeset long"
+    )
+    got = {
+        (r["entity_id"], r["version"])
+        for r in collapse_changesets(df).collect()
+    }
+    assert got == {(1, 1), (1, 2), (1, 3), (2, 2), (2, 3)}
