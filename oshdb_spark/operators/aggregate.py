@@ -33,12 +33,19 @@ from pyspark.sql import functions as F
 
 def ts_bucket(ts_col: Column, boundaries: list[int]) -> Column:
     """Floor a timestamp to the greatest boundary <= ts (the
-    aggregateByTimestamp interval floor). Values before the first
-    boundary map to null (the reference throws for out-of-range —
-    callers filter)."""
+    aggregateByTimestamp interval floor, ``MapReducer.java:805-813``).
+    The study interval is HALF-OPEN ``[first, last)``
+    (``OSHDBTimestampInterval.includes``, ``OSHDBTimestampInterval.java:
+    30-33``): the final boundary CLOSES the last interval rather than
+    opening one, so values at/after it map to null — same as values
+    before the first boundary (the reference filters contributions to
+    the interval before flooring, so its floor never lands on the last
+    boundary; callers here filter the nulls)."""
     expr = F.lit(None).cast("long")
-    for b in boundaries:  # ascending; later whens win via reversed fold
+    for b in boundaries[:-1]:  # ascending; later whens win via reversed fold
         expr = F.when(ts_col >= F.lit(b), F.lit(b)).otherwise(expr)
+    if boundaries:
+        expr = F.when(ts_col >= F.lit(boundaries[-1]), F.lit(None).cast("long")).otherwise(expr)
     return expr
 
 

@@ -1024,8 +1024,10 @@ def o_group_by_entity_hist() -> str:
 def q_contrib_by_interval_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """aggregateByTimestamp for the contribution view: each contribution
     floored to the enclosing interval start (MapReducer.java:800-850,
-    floor at :813; pre-first-boundary rows are out-of-range and
-    dropped)."""
+    floor at :813). The study interval is HALF-OPEN [first, last)
+    (OSHDBTimestampInterval.java:30-33) — rows before the first
+    boundary AND at/after the final one are out-of-range and
+    dropped."""
     from oshdb_spark.operators.aggregate import ts_bucket
 
     v = load_versions(spark, sf_dir)
@@ -1039,8 +1041,11 @@ def q_contrib_by_interval_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_contrib_by_interval_type() -> str:
-    floor_expr = "CASE "
-    for b in reversed(SNAPSHOT_TS):
+    # half-open study interval [first, last): at/after the final
+    # boundary is out-of-range (OSHDBTimestampInterval.java:30-33),
+    # mirroring ts_bucket
+    floor_expr = f"CASE WHEN ts >= {SNAPSHOT_TS[-1]} THEN NULL "
+    for b in reversed(SNAPSHOT_TS[:-1]):
         floor_expr += f"WHEN ts >= {b} THEN {b} "
     floor_expr += "ELSE NULL END"
     return f"""{_collapsed_lag_cte()}

@@ -127,3 +127,19 @@ def test_changeset_collapsing_is_run_based(spark):
         for r in collapse_changesets(df).collect()
     }
     assert got == {(1, 1), (1, 2), (1, 3), (2, 2), (2, 3)}
+
+
+def test_ts_bucket_is_half_open(spark):
+    """The aggregateByTimestamp study interval is [first, last)
+    (OSHDBTimestampInterval.includes, :30-33): the final boundary
+    closes the last interval — timestamps at/after it are out of
+    range, exactly like timestamps before the first boundary."""
+    from oshdb_spark.operators.aggregate import ts_bucket
+
+    bounds = [100, 200, 300]
+    df = spark.createDataFrame(
+        [(50,), (100,), (150,), (200,), (299,), (300,), (350,)], "ts long"
+    )
+    got = [r["b"] for r in df.select(ts_bucket(F.col("ts"), bounds).alias("b"))
+           .orderBy("ts").collect()]
+    assert got == [None, 100, 100, 200, 200, None, None]
