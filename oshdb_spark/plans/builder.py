@@ -309,6 +309,18 @@ class ContributionView(_BaseView):
             )
         return self._apply_common(c)
 
+    def timestamp_universe(self) -> DataFrame:
+        """Zerofill key universe for the ``bucket_ts`` index: the
+        interval STARTS, i.e. the timestamp list WITHOUT its final
+        element — the reference's ``getZerofillTimestamps`` drops the
+        last timestamp for contribution views
+        (``MapReducer.java:1908-1916``) because the study interval is
+        half-open and the final boundary closes the last interval
+        rather than opening one (same rule as ``ts_bucket``)."""
+        return lit_df(
+            self._spark(), "bucket_ts", [int(t) for t in self._s.tstamps[:-1]], "long"
+        )
+
 
 def key_universe(spark, name: str, values: list, dtype: str) -> DataFrame:
     """Zerofill key-universe helper (re-export of lit_df)."""

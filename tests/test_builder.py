@@ -184,3 +184,26 @@ def test_unknown_tag_key_folds_to_empty_scan(spark, sf_dir):
     assert "LocalRelation <empty>" in optimized
     assert "parquet" not in optimized.lower()
     assert df.count() == 0
+
+
+def test_contribution_zerofill_universe_drops_last_ts(spark, sf_dir):
+    """getZerofillTimestamps (MapReducer.java:1908-1916): the
+    contribution view's zerofill universe is the interval STARTS —
+    every boundary except the final one — and zerofilling with it
+    yields one row per (start, type) including zero-count groups."""
+    from oshdb_spark.plans.builder import ContributionView
+    from oshdb_spark.sources.versions import SNAPSHOT_TS, derive_versions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    view = (
+        ContributionView.on(derive_versions(ev))
+        .timestamps(SNAPSHOT_TS)
+        .aggregate_by_timestamp()
+    )
+    uni = view.timestamp_universe()
+    starts = sorted(r["bucket_ts"] for r in uni.collect())
+    assert starts == SNAPSHOT_TS[:-1]
+
+    filled = view.zerofill_with(uni).count()
+    got = {r["bucket_ts"] for r in filled.collect()}
+    assert got == set(SNAPSHOT_TS[:-1])  # no bucket at the final boundary
