@@ -469,12 +469,20 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "catalog_suite_wall_seconds",
+                "metric": "catalog_suite_sum_min_seconds",
                 "value": res["total_sec"],
                 "unit": "sec",
                 "sf": _sf_of(sf_dir),
                 "rows": res["rows"],
                 "rows_per_sec": round(res["rows"] / res["total_sec"], 1),
+                # the auditable true wall clock over ALL passes in one
+                # session (session-resident frame caches make pass 2+
+                # systematically faster, so value/rows_per_sec are a
+                # warm-suite figure, not cold-suite throughput)
+                "wall_sec_all_passes": res["wall_sec_all_passes"],
+                "rows_per_sec_cold_wall": round(
+                    res["rows"] * res["passes"] / res["wall_sec_all_passes"], 1
+                ),
                 "n_queries": len(res["queries"]),
                 "passes": res["passes"],
                 "value_is": "sum of per-query min over passes",

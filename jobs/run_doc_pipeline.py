@@ -116,6 +116,18 @@ def main() -> None:
         cell=None,
     )
     summary = stage.run(spark, lambda s: build_pipeline(s, sf_dir))
+    # disclose what the LSH bucket cap touched: since round 5 oversized
+    # buckets are star-recovered (not dropped), but the disclosure stays
+    # — a boilerplate-heavy corpus shows up here, and member<->member
+    # pairs not through the bucket representative remain unexamined
+    from oshdb_spark.operators.dedup import minhash_oversized_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    over = minhash_oversized_buckets(docs).agg(
+        F.count(F.lit(1)).alias("buckets"), F.sum("bucket_size").alias("rows")
+    ).collect()[0]
+    summary["minhash_oversized_buckets"] = int(over["buckets"] or 0)
+    summary["minhash_oversized_bucket_rows"] = int(over["rows"] or 0)
     print(json.dumps(summary))
     spark.stop()
 

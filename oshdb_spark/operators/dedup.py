@@ -72,6 +72,39 @@ def _oversized(bands: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
     )
 
 
+def _star_pairs(
+    bands: DataFrame, keys: list[str], max_bucket: int, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Linear-cost recovery pairs for OVERSIZED buckets: every member of
+    a bucket with more than ``max_bucket`` rows is paired with the
+    bucket's min-id representative — O(B) pairs per bucket instead of
+    the O(B^2) self-join the cap exists to avoid. Downstream exact
+    verification (Jaccard / Hamming) filters false positives, and for
+    connected-components clustering the star keeps genuinely-similar
+    bucket members reachable through the representative, so the cap no
+    longer silently costs recall for non-identical near-dups stuck in a
+    boilerplate bucket (member<->member pairs NOT through the rep are
+    still skipped — the disclosed residual). Both window aggregates
+    share the bucket-key partitioning: one exchange.
+
+    ``extra_cols`` are carried through as ``<col>_a`` (representative's
+    value, taken from the same min-id struct) and ``<col>_b``."""
+    wb = Window.partitionBy(*keys)
+    rep = F.min(F.struct(F.col("id"), *[F.col(c) for c in extra_cols])).over(wb)
+    out_cols = [F.col("_rep.id").alias("id_a"), F.col("id").alias("id_b")]
+    for c in extra_cols:
+        out_cols.append(F.col(f"_rep.{c}").alias(f"{c}_a"))
+        out_cols.append(F.col(c).alias(f"{c}_b"))
+    return (
+        bands.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bsz") > max_bucket)
+        .withColumn("_rep", rep)
+        .filter(F.col("id") != F.col("_rep.id"))
+        .select(*out_cols)
+        .distinct()
+    )
+
+
 def shingle_hashes_col(text_col) -> F.Column:
     """int64 hashes of the word 3-gram shingles of a document, built
     entirely JVM-side (lower/split/filter + slice/zip_with + xxhash64)
@@ -193,18 +226,28 @@ def minhash_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    oversized: str = "star",
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) from LSH band buckets. Buckets
-    with more than ``max_bucket`` members are dropped before the
+    with more than ``max_bucket`` members never enter the O(B^2)
     self-join (see DEFAULT_MAX_BUCKET; ``minhash_oversized_buckets``
-    discloses them), keeping candidate counts ~linear under
-    boilerplate-heavy corpora; ``max_bucket=None`` disables the cap."""
-    bands = _cap_buckets(
-        _minhash_bands(docs, id_col, text_col), ["band", "bucket"], max_bucket
-    )
+    discloses them); their members are instead star-paired with the
+    bucket's min-id representative (``oversized="star"``, the default —
+    O(B) pairs, recall through the rep after exact verification) or
+    dropped entirely (``oversized="drop"``, the pre-round-5 behavior).
+    ``max_bucket=None`` disables the cap."""
+    if oversized not in ("star", "drop"):
+        raise ValueError(f"oversized must be 'star' or 'drop', got {oversized!r}")
+    all_bands = _minhash_bands(docs, id_col, text_col)
+    if max_bucket is not None:
+        # the cap window and the star window partition on the same keys;
+        # checkpoint the banding once so neither branch re-runs the
+        # signature kernel
+        all_bands = all_bands.localCheckpoint(eager=False)
+    bands = _cap_buckets(all_bands, ["band", "bucket"], max_bucket)
     left = bands.alias("l")
     right = bands.alias("r")
-    return (
+    pairs = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -214,6 +257,11 @@ def minhash_candidates(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
+    if max_bucket is not None and oversized == "star":
+        pairs = pairs.unionByName(
+            _star_pairs(all_bands, ["band", "bucket"], max_bucket)
+        ).distinct()
+    return pairs
 
 
 def minhash_oversized_buckets(
@@ -431,26 +479,71 @@ def _simhash_bands(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _probe_masks(probe_bits: int, width: int = 16) -> list[int]:
+    """All XOR masks of Hamming weight <= probe_bits over a band of
+    ``width`` bits, in a fixed deterministic order (weight-0, then
+    weight-1 ascending, then weight-2 lexicographic)."""
+    masks = [0]
+    if probe_bits >= 1:
+        masks += [1 << i for i in range(width)]
+    if probe_bits >= 2:
+        masks += [(1 << i) | (1 << j) for i in range(width) for j in range(i + 1, width)]
+    if probe_bits >= 3:
+        raise ValueError("probe_bits > 2 is unsupported (probe count explodes)")
+    return masks
+
+
 def simhash_neardup_pairs(
     docs: DataFrame,
     max_hamming: int = 6,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    probe_bits: int = 0,
+    oversized: str = "star",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded: candidates
-    must share one of 4 16-bit signature bands (pigeonhole: complete
-    for distance <= 3; a high-recall heuristic above that), then the
-    exact distance check is a JVM ``bit_count(a ^ b)``. The multi-probe
-    band join keeps candidate generation a hash join, never O(n^2);
-    band buckets above ``max_bucket`` members are dropped before the
-    join (see DEFAULT_MAX_BUCKET — the boilerplate-blowup cap;
-    ``simhash_oversized_buckets`` discloses them)."""
-    bands = _cap_buckets(
-        _simhash_bands(docs, id_col, text_col), ["band", "val"], max_bucket
-    )
+    must share one of 4 16-bit signature bands, then the exact distance
+    check is a JVM ``bit_count(a ^ b)``.
+
+    ``probe_bits`` adds multi-probe flips: each row additionally joins
+    under every band value within Hamming distance ``probe_bits`` of
+    its own (the standard multi-probe LSH perturbation). Pigeonhole
+    over 4 bands makes candidate generation COMPLETE for signature
+    distance ``4 * probe_bits + 3`` (d <= 3 at the default 0, d <= 7 at
+    1, d <= 11 at 2); above that it is a high-recall heuristic. The
+    probe side fans out x(1 + 16 + 120) rows at probe_bits=2 — a
+    disclosed, bounded cost that keeps the join an equi-join, never
+    O(n^2).
+
+    Band buckets above ``max_bucket`` members never enter the self-join
+    (the boilerplate-blowup cap; ``simhash_oversized_buckets`` discloses
+    them); with ``oversized="star"`` (default) their members are
+    star-paired with the bucket's min-id representative and kept iff
+    the exact distance passes, ``oversized="drop"`` restores the
+    pre-round-5 silent drop."""
+    if oversized not in ("star", "drop"):
+        raise ValueError(f"oversized must be 'star' or 'drop', got {oversized!r}")
+    all_bands = _simhash_bands(docs, id_col, text_col)
+    if max_bucket is not None or probe_bits > 0:
+        # shared by the probe side, the exact side, the cap window and
+        # the star window — one banding computation
+        all_bands = all_bands.localCheckpoint(eager=False)
+    bands = _cap_buckets(all_bands, ["band", "val"], max_bucket)
+    if probe_bits > 0:
+        masks = _probe_masks(probe_bits)
+        probes = bands.select(
+            "id",
+            "sim",
+            "band",
+            F.explode(
+                F.array(*[F.col("val").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("val"),
+        )
+    else:
+        probes = bands
     cand = (
-        bands.alias("a")
+        probes.alias("a")
         .join(bands.alias("b"), ["band", "val"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
@@ -460,6 +553,15 @@ def simhash_neardup_pairs(
         )
         .distinct()
     )
+    if max_bucket is not None and oversized == "star":
+        star = _star_pairs(all_bands, ["band", "val"], max_bucket, extra_cols=("sim",))
+        cand = cand.unionByName(
+            star.select(
+                "id_a",
+                "id_b",
+                F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+            )
+        ).distinct()
     return cand.filter(F.col("hamming") <= max_hamming)
 
 

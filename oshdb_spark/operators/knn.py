@@ -68,6 +68,14 @@ def knn(
     ``ring`` is the first ring radius tried; unguaranteed queries
     escalate by doubling up to ``max_ring`` before any full scan.
     """
+    if max_ring < max(ring, 1):
+        # the escalation loop body would never run, leaving exact_parts
+        # empty and the final union a TypeError instead of the intended
+        # full-scan fallback — reject the nonsensical bound up front
+        raise ValueError(
+            f"max_ring ({max_ring}) must be >= the first ring tried "
+            f"(max(ring, 1) = {max(ring, 1)})"
+        )
     n = 1 << zoom
     rows = 1 << (zoom - 1) if zoom > 0 else 1
     w_cell = WORLD_LON // n  # fixed-point cell width

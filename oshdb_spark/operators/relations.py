@@ -272,15 +272,16 @@ def _chain_rings(arcs: list[dict]) -> tuple[list[dict], bool]:
 def _point_on_ring(lon: list[int], lat: list[int], px, py) -> bool:
     """Is (px, py) ON the boundary of the closed ring? Exact for e7
     integer coordinates via the collinearity cross product + segment
-    bbox test. Computed in int64 numpy; a wrap on pathological
-    antimeridian-spanning segments can only flip the answer, and either
-    direction is safe where this is used (a false 'on boundary' merely
-    re-probes at the next vertex, a false 'off' degrades to the
-    pre-repair behavior)."""
+    bbox test. Coordinate DELTAS fit int64 (|delta| <= 3.6e9), but the
+    cross-product TERMS can reach ~1.3e19 > 2^63 for long segments far
+    from the probe point, so the two products are taken in Python ints
+    (numpy object dtype) — exact at any e7 coordinate, no silent wrap.
+    This is driver-side per-relation code over short vertex arrays; the
+    object-dtype multiply costs nothing measurable here."""
     x = np.asarray(lon, dtype=np.int64)
     y = np.asarray(lat, dtype=np.int64)
     x1, x2, y1, y2 = x[:-1], x[1:], y[:-1], y[1:]
-    cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    cross = (x2 - x1).astype(object) * (py - y1) - (y2 - y1).astype(object) * (px - x1)
     within = (
         (np.minimum(x1, x2) <= px)
         & (px <= np.maximum(x1, x2))

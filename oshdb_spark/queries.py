@@ -58,10 +58,15 @@ def _collapsed_lag_cte() -> str:
     contribution-view preamble) as DuckDB CTEs."""
     return f"""{_versions_cte()},
     c AS (
+      -- run-based keep-last: mirrors collapse_changesets (contribution.py)
+      -- exactly — keep a version iff its changeset differs from the NEXT
+      -- version's (OSHEntities.java:240-267 newest-first walk), not a
+      -- global (entity, changeset) group, so a changeset id recurring
+      -- non-consecutively keeps every interrupted run's tail.
       SELECT * FROM (
-        SELECT *, row_number() OVER (PARTITION BY entity_id, changeset ORDER BY version DESC) AS _rn
+        SELECT *, lead(changeset) OVER (PARTITION BY entity_id ORDER BY version) AS _next_cs
         FROM {_V}
-      ) WHERE _rn = 1
+      ) WHERE changeset IS DISTINCT FROM _next_cs
     ),
     l AS (
       SELECT *,
@@ -195,10 +200,15 @@ def o_contrib_filtered() -> str:
     # same CTE chain but effective visibility = visible AND tag_v >= 2
     return f"""{_versions_cte()},
     c AS (
+      -- run-based keep-last: mirrors collapse_changesets (contribution.py)
+      -- exactly — keep a version iff its changeset differs from the NEXT
+      -- version's (OSHEntities.java:240-267 newest-first walk), not a
+      -- global (entity, changeset) group, so a changeset id recurring
+      -- non-consecutively keeps every interrupted run's tail.
       SELECT * FROM (
-        SELECT *, row_number() OVER (PARTITION BY entity_id, changeset ORDER BY version DESC) AS _rn
+        SELECT *, lead(changeset) OVER (PARTITION BY entity_id ORDER BY version) AS _next_cs
         FROM {_V}
-      ) WHERE _rn = 1
+      ) WHERE changeset IS DISTINCT FROM _next_cs
     ),
     m AS (SELECT *, visible AND tag_v >= 2 AS eff FROM c),
     l AS (
@@ -814,22 +824,34 @@ def _ann_queries(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     return emb, queries
 
 
+ANN_CORPUS_MOD = 4  # the verifier's deterministic corpus sample
+
+
 def q_ann_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-k — the SAMPLED VERIFIER of the ANN
-    stack, not the serving path: its O(Q x N) broadcast nested loop is
-    deliberate and acceptable only because Q is a small probe sample. At
-    scale the serving query is ``ivf_ann_top5`` (equi-join on trained
-    IVF lists); this one exists to measure that path's recall."""
+    stack, not the serving path. BOTH sides are bounded deterministic
+    samples (queries: 1-in-ANN_QUERY_MOD; corpus: 1-in-ANN_CORPUS_MOD,
+    the arithmetic twin of ``train_kmeans``'s hash sample, chosen so the
+    DuckDB oracle can mirror it), so the O(Q x N) broadcast nested loop
+    never sees full N even here — at 100x data the verifier's cost is
+    set by the sample sizes, not the corpus. The serving queries are
+    ``ivf_ann_top5`` (equi-join on trained IVF lists) and
+    ``srp_neardup_pairs``; this one exists to measure their recall."""
     from oshdb_spark.operators.similarity import cosine_topk
 
     emb, queries = _ann_queries(spark, sf_dir)
-    return cosine_topk(emb, queries, k=ANN_K).select("q_id", "rank", "nbr_id", "cosine")
+    corpus = emb.filter(F.col("vec_id") % ANN_CORPUS_MOD == 0)
+    return cosine_topk(corpus, queries, k=ANN_K).select(
+        "q_id", "rank", "nbr_id", "cosine"
+    )
 
 
 def o_ann_cosine_top5() -> str:
     return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % {ANN_QUERY_MOD} = 0),
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE vec_id % {ANN_CORPUS_MOD} = 0),
+    q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings
+          WHERE vec_id % {ANN_QUERY_MOD} = 0),
     s AS (
       SELECT q.q_id, v.vec_id AS nbr_id,
              round(list_dot_product(q.qe, v.e)
@@ -842,28 +864,108 @@ def o_ann_cosine_top5() -> str:
     """
 
 
-def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH candidates verified by exact 3-gram Jaccard (rows-only
-    check: the LSH banding kernel is not SQL-expressible)."""
-    from oshdb_spark.operators.dedup import jaccard_verify, minhash_candidates
+NEARDUP_JACCARD = 0.7
+
+
+def _shingle_truth_sql(threshold: float = NEARDUP_JACCARD) -> str:
+    """All-pairs exact word-3-gram-shingle Jaccard >= threshold in pure
+    DuckDB — the sketch-free truth both LSH gates are graded against.
+    Shingle construction mirrors ``dedup.shingle_hashes_col`` exactly
+    (lowercase, whitespace split, \\x1f-joined trigrams; <3 words ->
+    one whole-doc shingle; empty -> ['']), and the candidate join is on
+    shared shingles (any pair at j > 0 shares one), so this is exact,
+    not an approximation. The parity surface is INTEGER milli-Jaccard
+    (floor(j*1000 + 0.5)): the ratio of small ints divides identically
+    in both engines and the integer surface can't wobble across
+    environments (the entity_bbox_area lesson)."""
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+        list_distinct(
+          CASE
+            WHEN len(ws) >= 3 THEN
+              list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || chr(31) || ws[i+1] || chr(31) || ws[i+2])
+            WHEN len(ws) >= 1 THEN [list_aggregate(ws, 'string_agg', chr(31))]
+            ELSE ['']
+          END
+        ) AS s
+      FROM w
+    ),
+    tok AS (SELECT doc_id, unnest(s) AS t, len(s) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i,
+             any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(floor(CAST(i AS DOUBLE) / (na + nb - i) * 1000 + 0.5) AS BIGINT)
+             AS milli_jaccard
+    FROM inter
+    WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {threshold}
+    """
+
+
+def _milli_jaccard_pairs(spark: SparkSession, sf_dir: str, pairs) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs, emitted as the
+    integer milli-Jaccard parity surface shared by both sketch gates."""
+    from oshdb_spark.operators.dedup import jaccard_verify
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    cands = minhash_candidates(docs)
-    return jaccard_verify(docs, cands, threshold=0.7).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    return jaccard_verify(docs, pairs, threshold=NEARDUP_JACCARD).select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("jaccard") * 1000 + F.lit(0.5)).cast("long").alias(
+            "milli_jaccard"
+        ),
     )
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified by exact 3-gram Jaccard,
+    HASH-CHECKED against the sketch-free DuckDB truth (all pairs with
+    shingle Jaccard >= 0.7): the gate asserts the seeded 16x4 banding's
+    recall is exactly 100% on this corpus (every truth pair here sits
+    at j >= 0.89, where the per-pair miss probability is < 4e-7, and
+    the rng seed is fixed, so the outcome is deterministic) AND that
+    the verified similarities agree to the milli-Jaccard integer."""
+    from oshdb_spark.operators.dedup import minhash_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _milli_jaccard_pairs(spark, sf_dir, minhash_candidates(docs))
+
+
+def o_minhash_neardup() -> str:
+    return _shingle_truth_sql()
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded SimHash near-dup pairs with exact Hamming verification
-    (rows-only: the banding recall profile is not SQL-expressible;
-    completeness for distance <= 3 is asserted in tests)."""
+    """Banded SimHash candidates (2-bit multi-probe: pigeonhole-complete
+    for signature distance <= 11) verified by exact 3-gram Jaccard,
+    HASH-CHECKED against the same sketch-free truth as the MinHash
+    gate: deterministic (SimHash has no random seed) and complete here
+    because every truth pair's signature distance is <= 9 on this
+    corpus (asserted with margin in tests/test_pipeline_ops.py). Same
+    truth, different candidate generator under test — the pair of gates
+    grades both sketches' recall contracts independently."""
     from oshdb_spark.operators.dedup import simhash_neardup_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_neardup_pairs(docs, max_hamming=10).select(
-        "id_a", "id_b", "hamming"
+    cands = simhash_neardup_pairs(docs, max_hamming=11, probe_bits=2).select(
+        "id_a", "id_b"
     )
+    return _milli_jaccard_pairs(spark, sf_dir, cands)
+
+
+def o_simhash_neardup() -> str:
+    return _shingle_truth_sql()
 
 
 IVF_NPROBE = 2
@@ -1912,18 +2014,76 @@ def o_insert_level_hist() -> str:
 # way analog: versioned LINE / POLYGON geometries through the line: docs graft
 # ---------------------------------------------------------------------------
 
+class _ResidentFrameCache:
+    """Session-resident decoded-frame cache with keep-latest-dir LRU
+    eviction (capacity 2): the engine-level analog of the reference
+    keeping GridOSHEntity cells resident in Ignite across queries, but
+    bounded — a long-lived session cycling many input dirs unpersists
+    the superseded dirs' localCheckpoint blocks instead of accumulating
+    them for the session's lifetime (round-5 item; the bench/driver
+    lifecycle touches one dir and never evicts).
+
+    ``put`` registers the cached value together with every
+    checkpointed frame the build created (including INNER checkpoints
+    not reachable from the returned frame, e.g. the rels frame inside
+    the member decode); eviction unpersists each frame's checkpointed
+    RDD via its LogicalRDD plan node. Evicted entries rebuild on the
+    next get-miss."""
+
+    def __init__(self, capacity: int = 2):
+        self.capacity = capacity
+        self._store: dict[tuple[str, str], object] = {}
+        self._frames: dict[tuple[str, str], list[DataFrame]] = {}
+        self._order: list[tuple[str, str]] = []  # LRU first, MRU last
+
+    def get(self, key):
+        got = self._store.get(key)
+        if got is not None:
+            self._order.remove(key)
+            self._order.append(key)
+        return got
+
+    def put(self, key, value, frames: list[DataFrame]):
+        self._store[key] = value
+        self._frames[key] = frames
+        if key in self._order:
+            self._order.remove(key)
+        self._order.append(key)
+        while len(self._order) > self.capacity:
+            self._evict(self._order.pop(0))
+
+    def _evict(self, key):
+        for f in self._frames.pop(key, []):
+            try:
+                # a localCheckpoint'ed Dataset's plan IS a LogicalRDD;
+                # unpersisting its RDD frees the checkpoint blocks (a
+                # no-op if never materialized, best-effort if the
+                # owning session is already stopped)
+                f._jdf.queryExecution().logical().rdd().unpersist(False)
+            except Exception:  # noqa: BLE001 — stopped session / non-RDD plan
+                pass
+        self._store.pop(key, None)
+
+    def clear(self):
+        for key in list(self._order):
+            self._frames.pop(key, None)
+            self._store.pop(key, None)
+        self._order.clear()
+
+
 # decoded way-version frame, once per (session, input dir) — same
 # cells-resident-across-queries rationale as _MEMBER_FRAME_CACHE: eight
 # way-family catalog queries were each re-running the identical
 # line:-doc encode->decode pipeline. localCheckpoint(eager=False)
 # materializes on first action; later queries read the stored blocks.
-_WAY_FRAME_CACHE: dict[tuple[str, str], DataFrame] = {}
+_WAY_FRAME_CACHE = _ResidentFrameCache()
 
 
 def _decoded_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All way versions, through the FULL interleaved-doc round trip
     (line: span encode -> decode, the codec the way gates verify),
-    checkpointed once per (session, sf_dir)."""
+    checkpointed once per (session, sf_dir); superseded dirs evicted
+    keep-latest-2 (see _ResidentFrameCache)."""
     from oshdb_spark.sources.ways import derive_ways, docs_to_ways, ways_to_docs
 
     key = (spark.sparkContext.applicationId, str(sf_dir))
@@ -1932,7 +2092,7 @@ def _decoded_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
         return got
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = docs_to_ways(ways_to_docs(derive_ways(ev))).localCheckpoint(eager=False)
-    _WAY_FRAME_CACHE[key] = w
+    _WAY_FRAME_CACHE.put(key, w, [w])
     return w
 
 
@@ -2244,13 +2404,16 @@ def o_way_kind_measures() -> str:
 # identical ring:-doc encode->decode pipeline (~1.4 s/query at sf0.1).
 # localCheckpoint(eager=False) materializes on first action; later
 # queries in the same session read the stored blocks.
-_MEMBER_FRAME_CACHE: dict[tuple[str, str], DataFrame] = {}
+_MEMBER_FRAME_CACHE = _ResidentFrameCache()
 
 
 def _decoded_relation_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All relation member arcs, through the FULL interleaved-doc round
     trip (ring: span encode -> decode, the codec the mp-area gate
-    verifies), checkpointed once per (session, sf_dir)."""
+    verifies), checkpointed once per (session, sf_dir); superseded dirs
+    evicted keep-latest-2 (see _ResidentFrameCache — the inner rels
+    checkpoint is registered too, it is unreachable from the returned
+    frame)."""
     from oshdb_spark.sources.relations import (
         derive_relation_members,
         derive_relations,
@@ -2269,7 +2432,7 @@ def _decoded_relation_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = docs_to_relation_members(
         relations_to_docs(derive_relation_members(ev, rels=rels), rels=rels)
     ).localCheckpoint(eager=False)
-    _MEMBER_FRAME_CACHE[key] = m
+    _MEMBER_FRAME_CACHE.put(key, m, [m, rels])
     return m
 
 
@@ -2545,7 +2708,7 @@ def _member_window_per_ts(
 # per-parent answer is its aggregation — pinned by the randomized
 # oracle test in tests/test_member_windows.py), so it joins the
 # resident-frame family (_MEMBER_FRAME_CACHE / _WAY_FRAME_CACHE).
-_RELWIN_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_RELWIN_CACHE = _ResidentFrameCache()
 
 
 def _relation_slot_windows(
@@ -2580,7 +2743,8 @@ def _relation_slot_windows(
         F.col("way_id").alias("child_id"), F.col("ts").alias("c_ts")
     )
     per_slot = _member_window_per_ts(vers, way_ts, "rel_id", per_slot=True)
-    _RELWIN_CACHE[key] = (vers, per_slot)
+    # vers is a plain (unmaterialized) select — only per_slot holds blocks
+    _RELWIN_CACHE.put(key, (vers, per_slot), [per_slot])
     return vers, per_slot
 
 
@@ -3088,14 +3252,25 @@ def q_relation_contributors_windowed(spark: SparkSession, sf_dir: str) -> DataFr
 
     ways = derive_ways(ev)
     vers, per_slot = _relation_slot_windows(spark, sf_dir)
-
-    # attribution: qualified slots recover their way + editor by
-    # (slot -> child_id) then (child_id, ts) -> uid; first-in-member-
-    # order pick is a row_number over the slot ordinal (way_id + uid
-    # break the theoretical duplicate-timestamp tie identically on
-    # both engines)
-    slots = vers.select("rel_id", "m_ord", "child_id").distinct()
     way_uid = ways.select(F.col("way_id").alias("child_id"), "ts", "uid")
+    return _windowed_attribution_agg(own, vers, per_slot, way_uid)
+
+
+def _windowed_attribution_agg(
+    own: DataFrame, vers: DataFrame, per_slot: DataFrame, way_uid: DataFrame
+) -> DataFrame:
+    """Attribution-through-windows aggregation shared by the catalog
+    gate and the synthetic zero-active-slot fixture test
+    (tests/test_member_windows.py): qualified slots recover their way +
+    editor by (slot -> child_id) then (child_id, ts) -> uid; the
+    first-in-member-order pick is a row_number over the slot ordinal
+    (way_id + uid break the theoretical duplicate-timestamp tie
+    identically on both engines). An instant where NO slot is active is
+    attributed only if it is an OWN version instant (own uid — the
+    reference's fallback, ``OSMContribution.java:211-257`` returning
+    the contribution's own editor when no member resolves); otherwise
+    it is excluded and counted in ``n_windowed_out``."""
+    slots = vers.select("rel_id", "m_ord", "child_id").distinct()
     cand = (
         per_slot.filter("qa")
         .join(slots, ["rel_id", "m_ord"])
@@ -4321,8 +4496,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contrib_type_counts": q_contrib_type_counts,
     "contrib_filtered": q_contrib_filtered,
     "agg_zerofill_ts_tagv": q_agg_zerofill_ts_tagv,
-    "raster_tiles_z6": q_raster_tiles_z6,
-    "vector_tiles_z4": q_vector_tiles_z4,
+    # round 5: minhash_neardup / simhash_neardup promoted from rows-only
+    # to hash-checked (milli-Jaccard parity vs the sketch-free DuckDB
+    # truth) and rotated INTO the window; raster_tiles_z6 and
+    # vector_tiles_z4 (driver-green r1-r4, unchanged since r1) rotate to
+    # the tail — tile semantics stay in-window through way_vector_tiles
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_neardup": q_simhash_neardup,
     "knn_k5": q_knn_k5,
     "pip_diamond_counts": q_pip_diamond_counts,
     "agg_by_region": q_agg_by_region,
@@ -4373,12 +4553,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_history": q_entity_history,
     "user_sessions": q_user_sessions,
     "events_tumbling": q_events_tumbling,
-    # rows-only checks — genuinely non-SQL-expressible candidate
-    # generation: MinHash permutation minima and SimHash bit votes have
-    # no DuckDB twin; their recall/completeness contracts are pytest-
-    # asserted instead (tests/test_pipeline_ops.py)
-    "minhash_neardup": q_minhash_neardup,
-    "simhash_neardup": q_simhash_neardup,
+    "raster_tiles_z6": q_raster_tiles_z6,
+    "vector_tiles_z4": q_vector_tiles_z4,
 }
 
 ORACLES: dict[str, str] = {
@@ -4415,6 +4591,11 @@ ORACLES: dict[str, str] = {
     "docs_prefiltered_snapshot": o_snapshot_count_by_ts(),
     "quality_buckets": o_quality_buckets(),
     "word_jaccard_pairs": o_word_jaccard_pairs(),
+    # both sketch gates grade against the same sketch-free truth (all
+    # pairs at exact shingle Jaccard >= 0.7, integer milli-Jaccard
+    # surface) — different candidate generator under test on each
+    "minhash_neardup": o_minhash_neardup(),
+    "simhash_neardup": o_simhash_neardup(),
     "embed_neardup_pairs": o_embed_neardup_pairs(),
     "media_meta_by_type": o_media_meta_by_type(),
     "region_clipped_length": o_region_clipped_length(),

@@ -168,3 +168,49 @@ def test_member_window_random_histories_match_naive_oracle(spark):
         .collect()
     }
     assert agg == got
+
+
+def test_windowed_attribution_zero_active_slot_fallback(spark):
+    """The zero-active-slot branch, pinned by a hand-built history
+    (round-5 item): at an instant where NO member slot is active,
+    - an OWN version instant still attributes the relation's own
+      editor (the reference's fallback in OSMContribution.java:211-257
+      when no member resolves),
+    - a child edit is EXCLUDED from contributions and counted in
+      n_windowed_out,
+    - a child edit at exactly an own instant is absorbed by the own
+      contribution (neither double-attributed nor windowed-out).
+
+    rel 1: v1 ts=100 uid=7 (slot 0 -> way 10 ACTIVE), v2 ts=200 uid=8
+    (slot present but INACTIVE — zero active slots from 200 on).
+    way 10 edits: ts=150 uid=21 (attributed through the active window),
+    ts=200 uid=22 (own instant wins), ts=250 uid=23 (zero active ->
+    windowed out). Expected: contribs = {100/7, 150/21, 200/8},
+    uid_sum = 36, n_windowed_out = 1."""
+    from oshdb_spark.queries import _member_window_per_ts, _windowed_attribution_agg
+
+    vers = spark.createDataFrame(
+        [
+            (1, 0, 10, 1, 100, True, True),
+            (1, 0, 10, 2, 200, True, False),
+        ],
+        "rel_id long, m_ord int, child_id long, version int, ts long,"
+        " visible boolean, active boolean",
+    )
+    own = spark.createDataFrame(
+        [(1, 100, 7), (1, 200, 8)], "rel_id long, ts long, uid long"
+    )
+    way_uid = spark.createDataFrame(
+        [(10, 150, 21), (10, 200, 22), (10, 250, 23)],
+        "child_id long, ts long, uid long",
+    )
+    child_ts = way_uid.select("child_id", F.col("ts").alias("c_ts"))
+    per_slot = _member_window_per_ts(vers, child_ts, "rel_id", per_slot=True)
+
+    out = _windowed_attribution_agg(own, vers, per_slot, way_uid).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_contribs"] == 3
+    assert r["n_contributors"] == 3
+    assert r["uid_sum"] == 7 + 21 + 8
+    assert r["n_windowed_out"] == 1

@@ -31,9 +31,12 @@ def test_minhash_finds_planted_near_duplicate(spark, docs):
 def test_lsh_bucket_cap_bounds_boilerplate_candidates(spark, docs):
     """The classic LSH blowup: 1000 clones of one boilerplate text land
     in one bucket per band and would alone contribute 1000*999/2 ≈ 500k
-    candidate pairs. With the bucket cap, candidate counts stay ~linear
-    in the non-boilerplate corpus, the genuinely-near planted pair still
-    verifies, and the dropped buckets are disclosed."""
+    candidate pairs. With the bucket cap, oversized buckets never enter
+    the O(B^2) self-join: their members STAR-pair with the bucket's
+    min-id representative (999 linear pairs keeping the clones
+    clusterable, the round-5 recall fix), or drop entirely under the
+    pre-round-5 ``oversized="drop"``. The genuinely-near planted pair
+    still verifies either way and the buckets are disclosed."""
     from oshdb_spark.operators.dedup import (
         N_BANDS,
         SIMHASH_BANDS,
@@ -56,23 +59,83 @@ def test_lsh_bucket_cap_bounds_boilerplate_candidates(spark, docs):
         ).alias("text"),
     )
     corpus = base.unionByName(planted).unionByName(boiler)
-
-    cands = minhash_candidates(corpus, max_bucket=64)
-    assert cands.count() < 1000  # uncapped: >= 499500 from the clones alone
-    verified = jaccard_verify(corpus, cands, threshold=0.5).toPandas()
     src = base.limit(1).collect()[0]["doc_id"]
+
+    # star (default): linear in the clone count — 999 rep pairs, never
+    # the ~500k of the uncapped self-join — and every clone reachable
+    # from the representative so CC still collapses the bucket
+    cands = minhash_candidates(corpus, max_bucket=64)
+    n_star = cands.count()
+    assert n_star < 1500
+    star_pairs = cands.filter(F.col("id_a") == 500000)
+    assert star_pairs.count() == 999
+    verified = jaccard_verify(corpus, cands, threshold=0.5).toPandas()
     assert ((verified.id_a == src) & (verified.id_b == src + 100000)).any()
+
+    # drop: the pre-round-5 behavior — clones contribute nothing
+    drop = minhash_candidates(corpus, max_bucket=64, oversized="drop")
+    assert drop.count() < 200
+    verified_d = jaccard_verify(corpus, drop, threshold=0.5).toPandas()
+    assert ((verified_d.id_a == src) & (verified_d.id_b == src + 100000)).any()
+
     dropped = minhash_oversized_buckets(corpus, max_bucket=64).toPandas()
     # identical clones share the full signature: one oversized bucket in
     # every band, each holding all 1000 clones
     assert len(dropped) == N_BANDS and (dropped.bucket_size >= 1000).all()
 
     sh = simhash_neardup_pairs(corpus, max_hamming=3, max_bucket=64)
-    assert sh.count() < 1000
+    # identical clones are at hamming 0: the 999 star pairs all pass
+    assert 999 <= sh.count() < 1500
+    assert sh.filter((F.col("id_a") == 500000) & (F.col("hamming") == 0)).count() == 999
+    sh_drop = simhash_neardup_pairs(
+        corpus, max_hamming=3, max_bucket=64, oversized="drop"
+    )
+    assert sh_drop.count() < 200
     sh_dropped = simhash_oversized_buckets(corpus, max_bucket=64).toPandas()
     assert len(sh_dropped) == SIMHASH_BANDS and (
         sh_dropped.bucket_size >= 1000
     ).all()
+
+
+def test_simhash_multiprobe_complete_for_hamming_11(spark, docs):
+    """2-bit multi-probe pigeonhole completeness: over 4 bands, any pair
+    at signature distance <= 11 has some band within distance 2, so the
+    probed band join must find EXACTLY the brute-force pairs at
+    max_hamming=11 (candidates are hamming-verified, so superset =>
+    equality)."""
+    from oshdb_spark.operators.dedup import (
+        _probe_masks,
+        _simhash64_udf,
+        shingle_hashes_col,
+        simhash_neardup_pairs,
+    )
+
+    masks = _probe_masks(2)
+    assert len(masks) == 1 + 16 + 120 and len(set(masks)) == len(masks)
+    assert all(bin(m).count("1") <= 2 for m in masks)
+
+    d = docs.limit(300).select("doc_id", "text")
+    got = (
+        simhash_neardup_pairs(d, max_hamming=11, probe_bits=2, max_bucket=None)
+        .toPandas()
+    )
+    sigs = d.select(
+        F.col("doc_id").alias("id"),
+        _simhash64_udf()(shingle_hashes_col(F.col("text"))).alias("sim"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 11)
+        .toPandas()
+    )
+    key = lambda df: set(map(tuple, df[["id_a", "id_b", "hamming"]].values))
+    assert key(got) == key(brute) and len(brute) > 0
 
 
 def test_exact_dup_groups_finds_planted_copy(spark, docs):

@@ -349,3 +349,40 @@ def test_asof_scale_job_deterministic_and_scales_output(spark, sf_dir):
     assert a == b > 0
     c = asof_scale_job(spark, sf_dir, replicas=4)
     assert c > a
+
+
+def test_resident_frame_cache_evicts_oldest_dir(spark):
+    """Keep-latest-2 LRU over the session-resident decoded frames: a
+    session cycling 3 input dirs must free the FIRST dir's checkpoint
+    blocks (round-5 eviction item). The evicted entry rebuilds on the
+    next miss; the two most-recent dirs stay resident and identical."""
+    from oshdb_spark.queries import _WAY_FRAME_CACHE, _decoded_ways
+
+    sc = spark.sparkContext
+
+    def persisted_ids() -> set[int]:
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    dirs = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+            "/root/testdata/sf0.1"]
+    # other tests may have populated the cache — start from a known state
+    _WAY_FRAME_CACHE.clear()
+    f1 = _decoded_ways(spark, dirs[0])
+    f1.count()
+    rdd1 = f1._jdf.queryExecution().logical().rdd().id()
+    assert rdd1 in persisted_ids()
+
+    f2 = _decoded_ways(spark, dirs[1])
+    f2.count()
+    assert _decoded_ways(spark, dirs[0]) is f1  # still resident (cap 2)
+    assert rdd1 in persisted_ids()
+
+    f3 = _decoded_ways(spark, dirs[2])  # third dir: dir[1] is now LRU
+    f3.count()
+    assert rdd1 in persisted_ids()  # dir[0] was MRU-refreshed above
+    f2b = _decoded_ways(spark, dirs[1])
+    assert f2b is not f2  # evicted -> rebuilt
+    rdd2 = f2._jdf.queryExecution().logical().rdd().id()
+    assert rdd2 not in persisted_ids()  # and its blocks were freed
+    # the rebuilt frame answers the same count as the evicted one did
+    assert f2b.count() > 0
