@@ -3935,7 +3935,13 @@ def q_way_concave_clipped_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cyrus–Beck-clipped against each triangle in one Arrow kernel, piece
     lengths accumulated in triangle order. The oracle re-derives the
     SAME triangles (deterministic decomposition) and expands each
-    triangle's parametric clip symbolically."""
+    triangle's parametric clip symbolically.
+
+    This AOI has 6 vertices, so the flat scan is optimal; for
+    pathological AOIs (~1k+ vertices) swap in
+    ``spatial.GriddedTriangleClip`` — the FastPolygonOperations
+    per-cell pre-gridding analog, bit-identical to this scan
+    (tests/test_spatial.py)."""
     import numpy as np
     import pandas as pd
 

@@ -349,3 +349,55 @@ def test_polygon_region_clipped_length_additivity(spark, sf_dir):
     assert rows["diamond"] > 0
     assert rows["west"] + rows["east"] == pytest.approx(rows["diamond"], abs=0.05)
     assert rows["null_tri"] == 0.0
+
+
+def test_gridded_triangle_clip_bit_identical_and_bounded():
+    """FastPolygonOperations analog (round-5 item): for a pathological
+    1200-vertex concave star AOI, the per-cell pre-gridded clip must be
+    BIT-IDENTICAL to the full triangle scan (same triangle order;
+    skipped triangles contribute an exact +0.0 in the full scan), while
+    each segment touches only its local triangles, not all ~1200."""
+    import time
+
+    import numpy as np
+
+    from oshdb_spark.functions.geo import EARTH_RADIUS
+    from oshdb_spark.operators.spatial import (
+        GriddedTriangleClip,
+        ear_clip_triangles,
+        np_cliplen_concave,
+    )
+
+    n = 600  # spikes -> 1200 vertices
+    ang = np.arange(2 * n) * (2 * np.pi / (2 * n))
+    r = np.where(np.arange(2 * n) % 2 == 0, 400_000_000, 150_000_000)
+    px = np.round(r * np.cos(ang)).astype(np.float64)
+    py = np.round(r * np.sin(ang) * 0.5).astype(np.float64)
+    tris = ear_clip_triangles(px, py)
+    assert len(tris) == 2 * n - 2
+
+    rng = np.random.default_rng(7)
+    m = 4000
+    x1 = rng.integers(-450_000_000, 450_000_000, m).astype(np.float64)
+    y1 = rng.integers(-250_000_000, 250_000_000, m).astype(np.float64)
+    x2 = x1 + rng.integers(-8_000_000, 8_000_000, m)
+    y2 = y1 + rng.integers(-8_000_000, 8_000_000, m)
+
+    grid = GriddedTriangleClip(tris, cell_deg=2.0)
+    t0 = time.perf_counter()
+    got = grid.cliplen(x1, y1, x2, y2, EARTH_RADIUS)
+    t_grid = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    want = np_cliplen_concave(x1, y1, x2, y2, tris, EARTH_RADIUS)
+    t_full = time.perf_counter() - t0
+
+    assert np.array_equal(got, want)  # bit-identical, not approx
+    assert want.sum() > 0  # non-vacuous: plenty of segments intersect
+    # the grid bounds per-segment work: the TYPICAL cell sees a small
+    # slice of the 1198 triangles (ear-clipping a star leaves a few
+    # wide central triangles whose bboxes span many cells — the max is
+    # shape-dependent, the mean is what the per-segment cost follows)
+    sizes = [len(v) for v in grid._cellmap.values()]
+    assert sum(sizes) / len(sizes) < len(tris) / 3
+    # and the gridded path is actually cheaper where it matters
+    assert t_grid < t_full
