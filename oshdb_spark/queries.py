@@ -39,6 +39,21 @@ KNN_RING = 1
 ANN_K = 5
 ANN_QUERY_MOD = 100
 
+def _read_wide(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table, widening the scan to the session's default
+    parallelism when it arrives narrower. The small test fixtures are
+    single-row-group files, so the scan yields ONE partition and every
+    Arrow kernel / expensive expression upstream of the first shuffle
+    runs single-threaded; a round-robin repartition of a sub-megabyte
+    frame is far cheaper than that serialization. At cluster scale the
+    scan already yields >= parallelism splits and this is a no-op."""
+    df = spark.read.parquet(path)
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p)
+    return df
+
+
 _V = "v"  # versions CTE name in oracle SQL
 
 
@@ -739,7 +754,7 @@ _TOKENS_SQL = (
 def q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oshdb_spark.operators.text import bpe_token_count_col, token_count_col
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     d = docs.withColumn("n_tokens", token_count_col(F.col("text"))).withColumn(
         "n_bpe", bpe_token_count_col(F.col("text"))
     )
@@ -766,7 +781,7 @@ def o_token_stats_by_source() -> str:
 def q_lang_pred_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oshdb_spark.operators.text import lang_id_col
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return (
         docs.withColumn("lang_pred", lang_id_col(F.col("text")))
         .groupBy("lang_pred")
@@ -793,7 +808,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes per fingerprint (the hash-groupBy dedup primitive)."""
     from oshdb_spark.operators.text import fingerprint_col
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return (
         docs.withColumn("fingerprint", fingerprint_col(F.col("text")))
         .groupBy("fingerprint")
@@ -817,7 +832,7 @@ def o_dedup_exact() -> str:
 
 
 def _ann_queries(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_wide(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -918,7 +933,7 @@ def _milli_jaccard_pairs(spark: SparkSession, sf_dir: str, pairs) -> DataFrame:
     integer milli-Jaccard parity surface shared by both sketch gates."""
     from oshdb_spark.operators.dedup import jaccard_verify
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return jaccard_verify(docs, pairs, threshold=NEARDUP_JACCARD).select(
         "id_a",
         "id_b",
@@ -938,7 +953,7 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verified similarities agree to the milli-Jaccard integer."""
     from oshdb_spark.operators.dedup import minhash_candidates
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return _milli_jaccard_pairs(spark, sf_dir, minhash_candidates(docs))
 
 
@@ -957,7 +972,7 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grades both sketches' recall contracts independently."""
     from oshdb_spark.operators.dedup import simhash_neardup_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     cands = simhash_neardup_pairs(docs, max_hamming=11, probe_bits=2).select(
         "id_a", "id_b"
     )
@@ -1497,7 +1512,7 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     with mean word length per bucket (Gopher-style quality signals)."""
     from oshdb_spark.operators.text import with_text_features
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     d = with_text_features(docs)
     return (
         d.withColumn("punct_bucket", F.floor(F.col("punct_ratio") * 100).cast("int"))
@@ -1537,7 +1552,7 @@ def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oshdb_spark.operators.dedup import jaccard_similarity_join
 
     docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _read_wide(spark, f"{sf_dir}/documents.parquet")
         .filter(F.col("doc_id") % JACCARD_MOD == 0)
         .select(
             "doc_id",
@@ -1578,7 +1593,7 @@ def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic subset — JVM ``aggregate``/``zip_with`` dot products,
     no Python in the pair loop."""
     emb = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _read_wide(spark, f"{sf_dir}/embeddings.parquet")
         .filter(F.col("vec_id") % NEARDUP_MOD == 0)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
@@ -1621,7 +1636,7 @@ def q_srp_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oshdb_spark.operators.similarity import srp_neardup_pairs
 
     emb = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _read_wide(spark, f"{sf_dir}/embeddings.parquet")
         .filter(F.col("vec_id") % SRP_MOD == 0)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
@@ -4059,7 +4074,7 @@ def q_media_meta_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode-derived values are covered by tests/test_pipeline_ops.py."""
     from oshdb_spark.operators.media import extract_features, synth_media
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     feats = extract_features(synth_media(docs))
     return feats.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_media"),
@@ -4091,7 +4106,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _read_wide(spark, f"{sf_dir}/documents.parquet")
         .filter(F.col("doc_id") % JACCARD_MOD == 0)
         .select(
             "doc_id",

@@ -401,3 +401,77 @@ def test_gridded_triangle_clip_bit_identical_and_bounded():
     assert sum(sizes) / len(sizes) < len(tris) / 3
     # and the gridded path is actually cheaper where it matters
     assert t_grid < t_full
+
+
+def test_gridded_triangle_clip_spark_kernel(spark, sf_dir):
+    """The gridded clip as it would actually deploy: a pandas UDF whose
+    closure carries the GriddedTriangleClip instance (Spark broadcasts
+    the closure once per stage — the per-cell piece table never rebuilds
+    per row), run over the real way segments, against the flat
+    np_cliplen_concave kernel on the same segments. Per-way sums must be
+    bit-identical: both kernels accumulate in ascending triangle order."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from oshdb_spark.functions.geo import EARTH_RADIUS
+    from oshdb_spark.operators.spatial import (
+        GriddedTriangleClip,
+        ear_clip_triangles,
+        np_cliplen_concave,
+    )
+    from oshdb_spark.queries import _ways_asof
+
+    n = 200  # 400-vertex star AOI over the fixture's coordinate range
+    ang = np.arange(2 * n) * (2 * np.pi / (2 * n))
+    r = np.where(np.arange(2 * n) % 2 == 0, 800_000_000, 300_000_000)
+    px = np.round(r * np.cos(ang)).astype(np.float64)
+    py = np.round(r * np.sin(ang) * 0.5).astype(np.float64)
+    tris = ear_clip_triangles(px, py)
+    grid = GriddedTriangleClip(tris, cell_deg=4.0)
+
+    segs = (
+        _ways_asof(spark, sf_dir)
+        .select(
+            "way_id",
+            F.explode(F.sequence(F.lit(0), F.size("lon_arr") - 2)).alias("j"),
+            "lon_arr",
+            "lat_arr",
+        )
+        .select(
+            "way_id",
+            F.element_at("lon_arr", F.col("j") + 1).cast("double").alias("x1"),
+            F.element_at("lat_arr", F.col("j") + 1).cast("double").alias("y1"),
+            F.element_at("lon_arr", F.col("j") + 2).cast("double").alias("x2"),
+            F.element_at("lat_arr", F.col("j") + 2).cast("double").alias("y2"),
+        )
+    )
+
+    def _flat(x1, y1, x2, y2):
+        return pd.Series(np_cliplen_concave(
+            x1.to_numpy(), y1.to_numpy(), x2.to_numpy(), y2.to_numpy(),
+            tris, EARTH_RADIUS,
+        ))
+
+    def _gridded(x1, y1, x2, y2):
+        return pd.Series(grid.cliplen(
+            x1.to_numpy(), y1.to_numpy(), x2.to_numpy(), y2.to_numpy(),
+            EARTH_RADIUS,
+        ))
+
+    def run(fn):
+        k = pandas_udf(fn, "double")
+        rows = (
+            segs.select("way_id", k("x1", "y1", "x2", "y2").alias("len_m"))
+            .groupBy("way_id")
+            .agg(F.sum("len_m").alias("len_m"))
+            .collect()
+        )
+        return {r["way_id"]: r["len_m"] for r in rows}
+
+    flat, gridded = run(_flat), run(_gridded)
+    assert set(flat) == set(gridded)
+    assert sum(flat.values()) > 0  # non-vacuous
+    for wid, v in flat.items():
+        assert gridded[wid] == v  # bit-identical per way
