@@ -215,6 +215,11 @@ def _chain_rings(arcs: list[dict]) -> tuple[list[dict], bool]:
     Returns (rings, closed_all); each ring carries ``hint`` = the seed
     arc's role (used only as the fallback label for unclosed rings —
     closed rings are classified geometrically afterwards)."""
+    # arcs with no coordinates (a member way whose nodes all failed to
+    # resolve — the incomplete-data family) carry no geometry: skip them
+    # rather than crash; the reference's contract is a non-throwing
+    # build from whatever members survive
+    arcs = [a for a in arcs if len(a["lon_arr"]) > 0]
     parsed = []
     for a in arcs:
         lon = [int(v) for v in a["lon_arr"]]

@@ -46,7 +46,14 @@ def _read_wide(spark: SparkSession, path: str) -> DataFrame:
     Arrow kernel / expensive expression upstream of the first shuffle
     runs single-threaded; a round-robin repartition of a sub-megabyte
     frame is far cheaper than that serialization. At cluster scale the
-    scan already yields >= parallelism splits and this is a no-op."""
+    scan already yields >= parallelism splits and this is a no-op.
+
+    Applied ONLY where the pre-shuffle work is kernel-heavy (shingle
+    builds, MinHash/SimHash signatures, the media decode UDF): measured
+    at sf0.1, widening buys minhash_neardup 7.0 -> 3.6 s but COSTS
+    trivial-agg queries more than it saves (dedup_exact +0.6 s,
+    ivf_ann_top5 +0.9 s — the exchange dwarfs one-core compute), so
+    cheap scans stay narrow."""
     df = spark.read.parquet(path)
     p = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < p:
@@ -754,7 +761,7 @@ _TOKENS_SQL = (
 def q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oshdb_spark.operators.text import bpe_token_count_col, token_count_col
 
-    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     d = docs.withColumn("n_tokens", token_count_col(F.col("text"))).withColumn(
         "n_bpe", bpe_token_count_col(F.col("text"))
     )
@@ -781,7 +788,7 @@ def o_token_stats_by_source() -> str:
 def q_lang_pred_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oshdb_spark.operators.text import lang_id_col
 
-    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
         docs.withColumn("lang_pred", lang_id_col(F.col("text")))
         .groupBy("lang_pred")
@@ -808,7 +815,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes per fingerprint (the hash-groupBy dedup primitive)."""
     from oshdb_spark.operators.text import fingerprint_col
 
-    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
         docs.withColumn("fingerprint", fingerprint_col(F.col("text")))
         .groupBy("fingerprint")
@@ -832,7 +839,7 @@ def o_dedup_exact() -> str:
 
 
 def _ann_queries(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    emb = _read_wide(spark, f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -1512,7 +1519,7 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     with mean word length per bucket (Gopher-style quality signals)."""
     from oshdb_spark.operators.text import with_text_features
 
-    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     d = with_text_features(docs)
     return (
         d.withColumn("punct_bucket", F.floor(F.col("punct_ratio") * 100).cast("int"))
@@ -1593,7 +1600,7 @@ def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic subset — JVM ``aggregate``/``zip_with`` dot products,
     no Python in the pair loop."""
     emb = (
-        _read_wide(spark, f"{sf_dir}/embeddings.parquet")
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .filter(F.col("vec_id") % NEARDUP_MOD == 0)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
@@ -1636,7 +1643,7 @@ def q_srp_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oshdb_spark.operators.similarity import srp_neardup_pairs
 
     emb = (
-        _read_wide(spark, f"{sf_dir}/embeddings.parquet")
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .filter(F.col("vec_id") % SRP_MOD == 0)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
