@@ -7,6 +7,7 @@ expressions and pandas UDFs call."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -266,3 +267,72 @@ def test_batched_ring_areas_match_scalar(rings):
     for i, r in enumerate(closed):
         want = abs(_ring_signed_area_m2([p[0] for p in r], [p[1] for p in r]))
         assert got[i] == want, i
+
+
+@given(
+    n=st.integers(min_value=4, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_chain_rings_arc_partition_invariance(n, seed, data):
+    """osm-testdata generalized as a property: ANY simple star polygon,
+    split into ANY arc partition of its boundary, with ANY subset of
+    arcs vertex-reversed and ANY member order, must reassemble into ONE
+    closed outer ring with exactly the original area and vertex count —
+    the invariant behind the 7xx conformance family
+    (tests/test_osm_testdata_7xx.py pins the corpus's fixed cases; this
+    pins the whole input class)."""
+    import numpy as np
+
+    from oshdb_spark.operators.relations import _assemble, _ring_signed_area_m2
+
+    rng = np.random.default_rng(seed)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    # enforce distinct angles so the polygon is simple (star-shaped)
+    if np.min(np.diff(ang, append=ang[0] + 2 * np.pi)) < 1e-3:
+        ang = np.arange(n) * (2 * np.pi / n)
+    r = rng.uniform(0.2, 1.0, n) * 5_000_000
+    lon = np.round(r * np.cos(ang)).astype(np.int64)
+    lat = np.round(r * np.sin(ang) * 0.5).astype(np.int64)
+    ring_lon = list(lon) + [int(lon[0])]
+    ring_lat = list(lat) + [int(lat[0])]
+    # degenerate radii can collapse consecutive vertices; require a
+    # genuinely simple ring for the exact-count assertion
+    pts = list(zip(ring_lon[:-1], ring_lat[:-1]))
+    if len(set(pts)) != len(pts):
+        return
+    want_area = abs(_ring_signed_area_m2(ring_lon, ring_lat))
+    if want_area == 0.0:
+        return
+
+    # random partition of the closed boundary into 1..n arcs
+    n_cuts = data.draw(st.integers(min_value=1, max_value=min(n, 6)))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=n - 1),
+                min_size=n_cuts, max_size=n_cuts, unique=True,
+            )
+        )
+    )
+    arcs = []
+    for k in range(len(cuts)):
+        a, b = cuts[k], cuts[(k + 1) % len(cuts)]
+        idx = list(range(a, b + 1)) if a < b else list(range(a, n)) + list(
+            range(0, b + 1)
+        )
+        al = [int(ring_lon[i]) for i in idx]
+        at = [int(ring_lat[i]) for i in idx]
+        if data.draw(st.booleans()):
+            al, at = al[::-1], at[::-1]
+        arcs.append({"role": "outer", "arc_ord": k, "lon_arr": al, "lat_arr": at})
+    perm = data.draw(st.permutations(range(len(arcs))))
+    arcs = [dict(arcs[i], arc_ord=j) for j, i in enumerate(perm)]
+
+    out = _assemble(arcs)
+    assert out["closed"]
+    assert out["n_outer"] == 1 and out["n_inner"] == 0
+    assert out["area_m2"] == pytest.approx(want_area, rel=1e-12)
+    ring = out["rings"][0]
+    assert len(ring["lon"]) == n + 1  # original vertices, closed once
