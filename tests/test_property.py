@@ -336,3 +336,70 @@ def test_chain_rings_arc_partition_invariance(n, seed, data):
     assert out["area_m2"] == pytest.approx(want_area, rel=1e-12)
     ring = out["rings"][0]
     assert len(ring["lon"]) == n + 1  # original vertices, closed once
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_chain_rings_hole_classification_invariance(seed, data):
+    """Shell + hole under the same arc-partition invariance: a star
+    polygon containing a scaled-down copy as its hole must classify
+    1 outer / 1 inner with area = shell - hole for ANY arc split,
+    reversal and member order, and REGARDLESS of stored roles (the
+    classifier is geometric; roles are only tie-break hints)."""
+    import numpy as np
+
+    from oshdb_spark.operators.relations import _assemble, _ring_signed_area_m2
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(5, 14))
+    ang = np.arange(n) * (2 * np.pi / n) + rng.uniform(0, 0.2)
+    r = rng.uniform(0.5, 1.0, n) * 8_000_000
+    lon = np.round(r * np.cos(ang)).astype(np.int64)
+    lat = np.round(r * np.sin(ang) * 0.5).astype(np.int64)
+    hole_lon = np.round(lon * 0.3).astype(np.int64)
+    hole_lat = np.round(lat * 0.3).astype(np.int64)
+
+    def ring_of(xs, ys):
+        return [int(v) for v in xs] + [int(xs[0])], [int(v) for v in ys] + [int(ys[0])]
+
+    sl, st_ = ring_of(lon, lat)
+    hl, ht = ring_of(hole_lon, hole_lat)
+    pts = list(zip(sl[:-1], st_[:-1])) + list(zip(hl[:-1], ht[:-1]))
+    if len(set(pts)) != len(pts):
+        return
+    want = abs(_ring_signed_area_m2(sl, st_)) - abs(_ring_signed_area_m2(hl, ht))
+    if want <= 0.0:
+        return
+
+    def split(lon_ring, lat_ring, role, base_ord):
+        m = len(lon_ring) - 1
+        k = data.draw(st.integers(min_value=1, max_value=min(3, m)))
+        cuts = sorted(data.draw(st.lists(
+            st.integers(min_value=0, max_value=m - 1),
+            min_size=k, max_size=k, unique=True)))
+        out = []
+        for j in range(len(cuts)):
+            a, b = cuts[j], cuts[(j + 1) % len(cuts)]
+            idx = list(range(a, b + 1)) if a < b else list(range(a, m)) + list(range(0, b + 1))
+            al = [lon_ring[i] for i in idx]
+            at = [lat_ring[i] for i in idx]
+            if data.draw(st.booleans()):
+                al, at = al[::-1], at[::-1]
+            out.append({"role": role, "arc_ord": base_ord + j,
+                        "lon_arr": al, "lat_arr": at})
+        return out
+
+    # deliberately scramble roles: classification must not depend on them
+    role_shell = data.draw(st.sampled_from(["outer", "inner", ""]))
+    role_hole = data.draw(st.sampled_from(["outer", "inner", ""]))
+    arcs = split(sl, st_, role_shell, 0) + split(hl, ht, role_hole, 10)
+    perm = data.draw(st.permutations(range(len(arcs))))
+    arcs = [dict(arcs[i], arc_ord=j) for j, i in enumerate(perm)]
+
+    out = _assemble(arcs)
+    assert out["closed"]
+    assert out["n_outer"] == 1 and out["n_inner"] == 1
+    assert out["area_m2"] == pytest.approx(want, rel=1e-12)
