@@ -66,15 +66,36 @@ def test_dimension_joins_broadcast(spark, sf_dir):
 
 def test_lsh_candidate_joins_are_hash_joins(spark, sf_dir):
     """Banded candidate generation is an equi-join (hash/sort-merge),
-    NEVER a nested-loop: the property that keeps dedup off O(n^2)."""
-    from oshdb_spark.queries import QUERIES
+    NEVER a nested-loop: the property that keeps dedup off O(n^2).
+    word_jaccard_pairs' catalog entry returns the session-resident
+    checkpointed pair frame (plan: Scan ExistingRDD), so the join-shape
+    property is asserted on the underlying operator build — the plan
+    that actually runs at scale."""
+    from pyspark.sql import functions as F
 
-    for name in ("minhash_neardup", "simhash_neardup", "word_jaccard_pairs"):
+    from oshdb_spark.operators.dedup import jaccard_similarity_join
+    from oshdb_spark.queries import JACCARD_MOD, JACCARD_THRESHOLD, QUERIES
+
+    for name in ("minhash_neardup", "simhash_neardup"):
         plan = _physical(QUERIES[name](spark, sf_dir))
         assert "NestedLoop" not in plan, name
         assert ("ShuffledHashJoin" in plan) or ("SortMergeJoin" in plan) or (
             "BroadcastHashJoin" in plan
         ), name
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % JACCARD_MOD == 0)
+        .select(
+            "doc_id",
+            F.array_distinct(F.split(F.col("text"), " ")).alias("words"),
+        )
+    )
+    plan = _physical(jaccard_similarity_join(docs, JACCARD_THRESHOLD - 1e-6))
+    assert "NestedLoop" not in plan, "word_jaccard_pairs"
+    assert ("ShuffledHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), "word_jaccard_pairs"
 
 
 def test_way_kind_measures_has_no_python(spark, sf_dir):
