@@ -49,19 +49,28 @@ _SEP = "\x1f"  # shingle-internal word separator (never appears in words)
 DEFAULT_MAX_BUCKET = 512
 
 
-def _cap_buckets(bands: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
-    """Drop rows of band buckets with more than ``max_bucket`` members.
-    One count-window over the bucket keys — the same hash partitioning
-    the band self-join shuffles on, so the cap adds no extra exchange
-    shape, just the count pass."""
-    if max_bucket is None:
-        return bands
+def _annotate_buckets(
+    bands: DataFrame, keys: list[str], extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Adds ``_bsz`` (bucket size) and ``_rep`` (the bucket's min-id
+    member struct) in ONE window execution: both aggregates share the
+    bucket-key partitioning, so the cap filter, the star recovery and
+    both self-join sides can all read a single checkpointed annotated
+    frame instead of each re-running its own window (three window
+    executions per gate before this)."""
     wb = Window.partitionBy(*keys)
-    return (
-        bands.withColumn("_bsz", F.count(F.lit(1)).over(wb))
-        .filter(F.col("_bsz") <= max_bucket)
-        .drop("_bsz")
+    rep = F.min(F.struct(F.col("id"), *[F.col(c) for c in extra_cols])).over(wb)
+    return bands.withColumn("_bsz", F.count(F.lit(1)).over(wb)).withColumn(
+        "_rep", rep
     )
+
+
+def _cap_buckets(annotated: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Rows of band buckets within the cap, annotation columns dropped
+    (input must be ``_annotate_buckets`` output)."""
+    if max_bucket is None:
+        return annotated
+    return annotated.filter(F.col("_bsz") <= max_bucket).drop("_bsz", "_rep")
 
 
 def _oversized(bands: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
@@ -73,7 +82,7 @@ def _oversized(bands: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
 
 
 def _star_pairs(
-    bands: DataFrame, keys: list[str], max_bucket: int, extra_cols: tuple[str, ...] = ()
+    annotated: DataFrame, max_bucket: int, extra_cols: tuple[str, ...] = ()
 ) -> DataFrame:
     """Linear-cost recovery pairs for OVERSIZED buckets: every member of
     a bucket with more than ``max_bucket`` rows is paired with the
@@ -84,21 +93,18 @@ def _star_pairs(
     bucket members reachable through the representative, so the cap no
     longer silently costs recall for non-identical near-dups stuck in a
     boilerplate bucket (member<->member pairs NOT through the rep are
-    still skipped — the disclosed residual). Both window aggregates
-    share the bucket-key partitioning: one exchange.
+    still skipped — the disclosed residual). Input must be
+    ``_annotate_buckets`` output — the size and representative come
+    from the one shared window pass.
 
     ``extra_cols`` are carried through as ``<col>_a`` (representative's
     value, taken from the same min-id struct) and ``<col>_b``."""
-    wb = Window.partitionBy(*keys)
-    rep = F.min(F.struct(F.col("id"), *[F.col(c) for c in extra_cols])).over(wb)
     out_cols = [F.col("_rep.id").alias("id_a"), F.col("id").alias("id_b")]
     for c in extra_cols:
         out_cols.append(F.col(f"_rep.{c}").alias(f"{c}_a"))
         out_cols.append(F.col(c).alias(f"{c}_b"))
     return (
-        bands.withColumn("_bsz", F.count(F.lit(1)).over(wb))
-        .filter(F.col("_bsz") > max_bucket)
-        .withColumn("_rep", rep)
+        annotated.filter(F.col("_bsz") > max_bucket)
         .filter(F.col("id") != F.col("_rep.id"))
         .select(*out_cols)
         .distinct()
@@ -240,11 +246,14 @@ def minhash_candidates(
         raise ValueError(f"oversized must be 'star' or 'drop', got {oversized!r}")
     all_bands = _minhash_bands(docs, id_col, text_col)
     if max_bucket is not None:
-        # the cap window and the star window partition on the same keys;
-        # checkpoint the banding once so neither branch re-runs the
-        # signature kernel
-        all_bands = all_bands.localCheckpoint(eager=False)
-    bands = _cap_buckets(all_bands, ["band", "bucket"], max_bucket)
+        # ONE window pass annotates size + representative; the
+        # checkpointed annotated frame feeds the cap filter, the star
+        # recovery and both self-join sides without re-running either
+        # the signature kernel or the window
+        all_bands = _annotate_buckets(
+            all_bands, ["band", "bucket"]
+        ).localCheckpoint(eager=False)
+    bands = _cap_buckets(all_bands, max_bucket)
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (
@@ -259,7 +268,7 @@ def minhash_candidates(
     )
     if max_bucket is not None and oversized == "star":
         pairs = pairs.unionByName(
-            _star_pairs(all_bands, ["band", "bucket"], max_bucket)
+            _star_pairs(all_bands, max_bucket)
         ).distinct()
     return pairs
 
@@ -525,11 +534,18 @@ def simhash_neardup_pairs(
     if oversized not in ("star", "drop"):
         raise ValueError(f"oversized must be 'star' or 'drop', got {oversized!r}")
     all_bands = _simhash_bands(docs, id_col, text_col)
-    if max_bucket is not None or probe_bits > 0:
-        # shared by the probe side, the exact side, the cap window and
-        # the star window — one banding computation
+    if max_bucket is not None:
+        # ONE window pass annotates size + representative; the
+        # checkpointed annotated frame feeds the probe side, the exact
+        # side, the cap filter and the star recovery — one banding
+        # computation AND one window execution
+        all_bands = _annotate_buckets(
+            all_bands, ["band", "val"], extra_cols=("sim",)
+        ).localCheckpoint(eager=False)
+    elif probe_bits > 0:
+        # probe + exact sides still share one banding computation
         all_bands = all_bands.localCheckpoint(eager=False)
-    bands = _cap_buckets(all_bands, ["band", "val"], max_bucket)
+    bands = _cap_buckets(all_bands, max_bucket)
     if probe_bits > 0:
         masks = _probe_masks(probe_bits)
         probes = bands.select(
@@ -554,7 +570,7 @@ def simhash_neardup_pairs(
         .distinct()
     )
     if max_bucket is not None and oversized == "star":
-        star = _star_pairs(all_bands, ["band", "val"], max_bucket, extra_cols=("sim",))
+        star = _star_pairs(all_bands, max_bucket, extra_cols=("sim",))
         cand = cand.unionByName(
             star.select(
                 "id_a",
